@@ -1,0 +1,117 @@
+"""Snapshot tables: an Iceberg-style append-only table layout on plain
+parquet, with a single atomically-committed JSON manifest per engine run.
+
+Why not Iceberg itself: the sandbox has no Iceberg runtime jars; this module
+provides the same guarantees the engine needs from it — atomic snapshot
+commits, readers that only see committed data, and resumability — behind a
+small API so a real deployment can swap in ``df.writeTo(table).append()``
+without touching the engine. (SURVEY.md §7 "hard parts" (d).)
+
+Layout::
+
+    run_dir/
+      manifest.json                  # single source of truth, atomic rename
+      trace/round=00000003/*.parquet # one snapshot dir per (table, round)
+      seen/round=00000003/*.parquet
+      ...
+
+The manifest maps table -> [committed snapshot dirs] plus per-round metadata
+(the RabbitMQ "batch" analog: one crawl round == one committed snapshot set,
+replacing the at-most-once auto-ack stream at
+/root/reference/internal/message/consumer/rabbitmq_consumer.go:59 with
+exactly-once batch commits). A crash mid-round leaves orphan dirs that are
+never referenced by the manifest and are ignored (and cleaned) on resume.
+
+At 10^10-URL scale each table is additionally hash-partitioned by
+``host_bucket`` inside a snapshot (writers use ``partitionBy``), and a
+compaction job folds old snapshots; both are orthogonal to the commit
+protocol here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class SnapshotStore:
+    def __init__(self, run_dir: str):
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.manifest_path = os.path.join(run_dir, "manifest.json")
+        self._manifest = self._load()
+
+    # -- manifest ----------------------------------------------------------
+    def _load(self) -> dict:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as fh:
+                return json.load(fh)
+        return {"tables": {}, "rounds": []}
+
+    def _commit_manifest(self) -> None:
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self._manifest, fh, indent=1, sort_keys=True)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+
+    # -- writes ------------------------------------------------------------
+    def snapshot_dir(self, table: str, round_id: int) -> str:
+        return os.path.join(self.run_dir, table, f"round={round_id:08d}")
+
+    def write_snapshot(self, df: DataFrame, table: str, round_id: int) -> str:
+        """Write one snapshot dir; NOT visible to readers until
+        ``commit_round`` lands the manifest."""
+        path = self.snapshot_dir(table, round_id)
+        if os.path.exists(path):  # orphan from a crashed attempt
+            shutil.rmtree(path)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def commit_round(self, round_id: int, tables: dict[str, str], meta: dict) -> None:
+        """Atomically publish all of a round's snapshots + its lineage row."""
+        for table, path in tables.items():
+            self._manifest["tables"].setdefault(table, []).append(path)
+        self._manifest["rounds"].append({"round": round_id, **meta})
+        self._commit_manifest()
+
+    # -- reads -------------------------------------------------------------
+    def committed_paths(self, table: str) -> list[str]:
+        return list(self._manifest["tables"].get(table, []))
+
+    def read(self, spark: SparkSession, table: str, schema: T.StructType) -> DataFrame:
+        paths = self.committed_paths(table)
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    def rounds(self) -> list[dict]:
+        return list(self._manifest["rounds"])
+
+    def last_round(self) -> int:
+        rs = self._manifest["rounds"]
+        return max((r["round"] for r in rs), default=-1)
+
+    def clean_orphans(self) -> list[str]:
+        """Remove snapshot dirs never committed (crash debris)."""
+        committed = {
+            os.path.normpath(p)
+            for ps in self._manifest["tables"].values()
+            for p in ps
+        }
+        removed = []
+        for table in os.listdir(self.run_dir):
+            tdir = os.path.join(self.run_dir, table)
+            if not os.path.isdir(tdir):
+                continue
+            for snap in os.listdir(tdir):
+                sdir = os.path.normpath(os.path.join(tdir, snap))
+                if sdir not in committed:
+                    shutil.rmtree(sdir)
+                    removed.append(sdir)
+        return removed
