@@ -1,0 +1,206 @@
+"""Crawl-order trace parity, seen-set equality, and checkpoint/resume.
+
+The golden trace is the sequential reference-loop simulation
+(fixtures.simulate_crawl — FIFO + batch barriers + retry-then-drop, per
+SURVEY.md §7 hard part (a)); the engine must reproduce it exactly, and its
+final URL-seen membership must equal the no-dedup reference run's
+membership (north rule)."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_v1_spark import fixtures as fx
+from web_scraper_v1_spark.plans.crawl import CrawlEngine
+from web_scraper_v1_spark.sources.corpus import (
+    read_pages,
+    read_robots,
+    read_seeds,
+)
+
+TRACE_COLS = ["seq", "round", "identity_epoch", "url", "host", "attempt", "outcome"]
+
+
+def _trace_df_to_rows(df) -> list[dict]:
+    pdf = df.select(*TRACE_COLS).orderBy("seq").toPandas()
+    return pdf.to_dict("records")
+
+
+def _assert_trace_equal(engine_trace: list[dict], sim_trace: list[dict]):
+    assert len(engine_trace) == len(sim_trace)
+    for got, want in zip(engine_trace, sim_trace):
+        assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+@pytest.fixture(scope="module")
+def corpus_frames(spark, corpus_dir):
+    return (
+        read_seeds(spark, corpus_dir),
+        read_pages(spark, corpus_dir),
+        read_robots(spark, corpus_dir),
+    )
+
+
+@pytest.fixture(scope="module")
+def py_fixtures():
+    pages = fx.generate_pages(1000, 10)
+    seeds = fx.generate_seeds(60, 1000, 10)
+    robots = fx.generate_robots(10)
+    return seeds, pages, robots
+
+
+def test_trace_parity_reference_defaults(
+    spark, tmp_path, corpus_frames, py_fixtures
+):
+    """batch_size=3, retry 3, no politeness, no robots — the transmitter
+    constants (cmd/transmitter/main.go:176-177,160)."""
+    seeds_df, pages_df, _ = corpus_frames
+    seeds, pages, _ = py_fixtures
+    eng = CrawlEngine(
+        spark, str(tmp_path / "run1"), batch_size=3, retry_limit=3
+    )
+    eng.run(seeds_df, pages_df)
+    sim = fx.simulate_crawl(seeds, pages, batch_size=3, retry_limit=3)
+    _assert_trace_equal(_trace_df_to_rows(eng.trace()), sim.trace)
+    # final URL-seen membership == reference (no-dedup) run membership
+    ref = fx.simulate_crawl(seeds, pages, batch_size=3, retry_limit=3, dedup=False)
+    engine_seen = {r.url for r in eng.seen().collect()}
+    assert engine_seen == ref.seen_urls
+    # results: every fetched url has byte-identical extracted text
+    golden = {
+        fx.canonicalize_url(p["url"]): p["text"] for p in pages
+    }
+    for row in eng.results().collect():
+        want = golden[row.url]
+        got = "\n".join([row.user_agent, row.ip_address, row.forwarded_host])
+        assert got == want, row.url
+
+
+def test_trace_parity_with_politeness_and_robots(
+    spark, tmp_path, corpus_frames, py_fixtures
+):
+    seeds_df, pages_df, robots_df = corpus_frames
+    seeds, pages, robots = py_fixtures
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "run2"),
+        batch_size=10,
+        retry_limit=3,
+        host_budget=2,
+        salt_buckets=4,
+    )
+    eng.run(seeds_df, pages_df, robots=robots_df)
+    sim = fx.simulate_crawl(
+        seeds, pages, batch_size=10, retry_limit=3, host_budget=2, robots=robots
+    )
+    _assert_trace_equal(_trace_df_to_rows(eng.trace()), sim.trace)
+    engine_seen = {r.url for r in eng.seen().collect()}
+    assert engine_seen == sim.seen_urls
+
+
+def test_resume_from_checkpoint_identical_final_state(
+    spark, tmp_path, corpus_frames, py_fixtures
+):
+    """Kill at round k, resume, final state identical to an uninterrupted
+    run (north rule: resumable from Iceberg-style snapshots)."""
+    seeds_df, pages_df, _ = corpus_frames
+    seeds, pages, _ = py_fixtures
+
+    full = CrawlEngine(spark, str(tmp_path / "full"), batch_size=5)
+    full.run(seeds_df, pages_df)
+
+    partial = CrawlEngine(spark, str(tmp_path / "partial"), batch_size=5)
+    partial.run(seeds_df, pages_df, max_rounds=3)  # "crash" after round 2
+    assert partial.store.last_round() == 2
+
+    resumed = CrawlEngine(spark, str(tmp_path / "partial"), batch_size=5)
+    stats = resumed.run(seeds_df, pages_df)
+    assert stats and stats[0].round == 3  # picked up where it left off
+
+    a = _trace_df_to_rows(full.trace())
+    b = _trace_df_to_rows(resumed.trace())
+    _assert_trace_equal(b, a)
+    assert {r.url for r in full.seen().collect()} == {
+        r.url for r in resumed.seen().collect()
+    }
+
+
+def test_orphan_snapshots_ignored_and_cleaned(spark, tmp_path, corpus_frames):
+    """A crash mid-round leaves uncommitted snapshot dirs; readers never see
+    them and the next engine instance removes them."""
+    seeds_df, pages_df, _ = corpus_frames
+    eng = CrawlEngine(spark, str(tmp_path / "orph"), batch_size=5)
+    eng.run(seeds_df, pages_df, max_rounds=2)
+    n_trace = eng.trace().count()
+    # simulate a crash: write a snapshot dir without committing
+    fake = seeds_df.limit(3).selectExpr(
+        "cast(1 as long) seq", "cast(99 as int) round",
+        "cast(99 as int) identity_epoch", "url",
+        "url as host", "cast(1 as int) attempt", "'fetched' as outcome",
+    )
+    eng.store.write_snapshot(fake, "trace", 99)
+    eng2 = CrawlEngine(spark, str(tmp_path / "orph"), batch_size=5)
+    assert eng2.trace().count() == n_trace
+    assert not (tmp_path / "orph" / "trace" / "round=00000099").exists()
+
+
+def test_lineage_metrics_recorded(spark, tmp_path, corpus_frames):
+    seeds_df, pages_df, _ = corpus_frames
+    eng = CrawlEngine(spark, str(tmp_path / "lin"), batch_size=7)
+    stats = eng.run(seeds_df, pages_df)
+    rounds = eng.store.rounds()
+    assert len(rounds) == len(stats) > 0
+    for meta in rounds:
+        assert meta["attempts"] == meta["seq_end"] - meta["seq_start"] + 1
+        assert "partition_histogram" in meta
+        assert meta["identity_epoch"] == meta["round"]
+        assert meta["duration_s"] >= 0
+    # seq ranges tile the trace contiguously
+    seqs = sorted((m["seq_start"], m["seq_end"]) for m in rounds)
+    for (s1, e1), (s2, _e2) in zip(seqs, seqs[1:]):
+        assert s2 == e1 + 1
+    assert seqs[0][0] == 0
+
+
+def test_bloom_prefilter_exactness(spark):
+    """Bloom must have zero false negatives; filter_new output must equal
+    plain exact anti-join output."""
+    from web_scraper_v1_spark.operators.seen import SeenSet
+
+    base = spark.range(0, 5000).selectExpr(
+        "xxhash64(concat('u', id)) as url_hash", "concat('u', id) as url"
+    )
+    cand = spark.range(2500, 9000).selectExpr(
+        "xxhash64(concat('u', id)) as url_hash", "concat('u', id) as url"
+    )
+    with_bloom = SeenSet(spark, n_bits=1 << 16, use_bloom=True)
+    with_bloom.load(base)
+    exact = SeenSet(spark, use_bloom=False)
+    exact.load(base)
+    got = sorted(r.url for r in with_bloom.filter_new(cand).collect())
+    want = sorted(r.url for r in exact.filter_new(cand).collect())
+    assert got == want
+    assert len(got) == 4000  # ids 5000..8999
+
+
+def test_bloom_prefilter_actually_skips_join_work(spark):
+    from web_scraper_v1_spark.operators.seen import (
+        SeenSet,
+        bloom_contains_col,
+    )
+
+    base = spark.range(0, 2000).selectExpr(
+        "xxhash64(concat('u', id)) as url_hash", "concat('u', id) as url"
+    )
+    ss = SeenSet(spark, n_bits=1 << 20, use_bloom=True)
+    ss.load(base)
+    cand = spark.range(2000, 42000).selectExpr(
+        "xxhash64(concat('u', id)) as url_hash", "concat('u', id) as url"
+    )
+    flagged = cand.select(
+        bloom_contains_col(spark, ss.bloom, F.col("url_hash")).alias("m")
+    )
+    n_maybe = flagged.filter("m").count()
+    # all 40k candidates are new; the false-positive slice that reaches the
+    # exact join must be small (1<<20 bits / 2k keys -> fpp << 1%)
+    assert n_maybe < 400

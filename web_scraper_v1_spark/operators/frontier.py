@@ -1,0 +1,111 @@
+"""Frontier operators: seed preparation, robots filtering, and the
+politeness-bounded per-host wave selection.
+
+The reference's frontier is a mutex'd FIFO slice with cond-var dequeue
+(/root/reference/internal/taskqueue/queue.go:40-61). Its ordering is
+wall-clock dependent; the engine replaces it with *deterministic sort keys*
+(SURVEY.md §4): every task carries ``queue_seq`` (its global enqueue index),
+and a wave is the per-host top-k by ``queue_seq`` — a window-ranked priority
+queue that reproduces the sequential FIFO trace while running fully
+parallel.
+
+Skew (SURVEY.md §7 hard part (e)): one hot host would funnel its entire
+pending set through a single window partition. ``per_host_topk`` is
+two-phase: phase 1 ranks within (host, salt-bucket) partitions and keeps
+only k rows per bucket, bounding the exact phase-2 window to k*salt rows
+per host — salting the shuffle without breaking per-host ordering, since
+phase 1 never drops any row that could be in the true per-host top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from web_scraper_v1_spark.functions import urls as U
+
+
+def prepare_seeds(seeds: DataFrame, batch_size: int) -> DataFrame:
+    """Canonicalize, hash, first-occurrence dedup (O17), and assign each
+    task its arrival round (the transmitter enqueues batch_size tasks
+    between barriers, cmd/transmitter/main.go:179-187).
+
+    ``queue_seq`` is derived from the task_id ordinal (``task-{i}``,
+    1-based) — the deterministic global enqueue order. Dedup keeps the
+    earliest occurrence per canonical URL (window by url, min queue_seq),
+    matching the simulator's enqueue-time dedup.
+    """
+    prepared = (
+        seeds.withColumn(
+            "queue_seq",
+            F.element_at(F.split("task_id", "-"), -1).cast("long") - 1,
+        )
+        .withColumn("canonical_url", U.canonicalize(F.col("url")))
+        .withColumn("url_hash", U.url_hash(F.col("canonical_url")))
+        .withColumn("host", U.host(F.col("url")))
+        .withColumn("path", U.path(F.col("url")))
+        .withColumn(
+            "arrival_round", (F.col("queue_seq") / batch_size).cast("int")
+        )
+    )
+    w = Window.partitionBy("canonical_url").orderBy("queue_seq")
+    return (
+        prepared.withColumn("_occ", F.row_number().over(w))
+        .filter(F.col("_occ") == 1)
+        .drop("_occ")
+    )
+
+
+def apply_robots(tasks: DataFrame, robots: DataFrame | None) -> DataFrame:
+    """Adds ``robots_blocked`` boolean. Robots tables are tiny relative to
+    the frontier (one row per host) — broadcast join, no shuffle on the
+    frontier side. Prefix semantics: blocked iff any disallow prefix
+    prefixes the URL path."""
+    if robots is None:
+        return tasks.withColumn("robots_blocked", F.lit(False))
+    r = robots.select(
+        "host", F.col("disallow_prefixes").alias("_disallow")
+    )
+    joined = tasks.join(F.broadcast(r), "host", "left")
+    blocked = F.when(
+        F.col("_disallow").isNull(), F.lit(False)
+    ).otherwise(
+        F.exists("_disallow", lambda p: F.col("path").startswith(p))
+    )
+    return joined.withColumn("robots_blocked", blocked).drop("_disallow")
+
+
+def per_host_topk(
+    tasks: DataFrame,
+    k: int | None,
+    order_cols: tuple[str, ...] = ("queue_seq",),
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Politeness wave selection: adds ``selected`` boolean — True for the
+    first k tasks per host in deterministic order (k=None selects all).
+
+    Two-phase salted ranking defeats host skew: the exact per-host window
+    (phase 2) sees at most k*salt_buckets rows per host instead of the
+    host's whole pending set.
+    """
+    if k is None:
+        return tasks.withColumn("selected", F.lit(True))
+    order = [F.col(c) for c in order_cols]
+    if salt_buckets > 1:
+        w1 = Window.partitionBy(
+            "host", F.pmod(F.col("url_hash"), F.lit(salt_buckets))
+        ).orderBy(*order)
+        pre = tasks.withColumn("_rn1", F.row_number().over(w1))
+        survivors = pre.filter(F.col("_rn1") <= k).drop("_rn1")
+        overflow = pre.filter(F.col("_rn1") > k).drop("_rn1").withColumn(
+            "selected", F.lit(False)
+        )
+    else:
+        survivors = tasks
+        overflow = None
+    w2 = Window.partitionBy("host").orderBy(*order)
+    ranked = survivors.withColumn("_rn2", F.row_number().over(w2))
+    out = ranked.withColumn("selected", F.col("_rn2") <= k).drop("_rn2")
+    if overflow is not None:
+        out = out.unionByName(overflow)
+    return out
