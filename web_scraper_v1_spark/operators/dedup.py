@@ -1,0 +1,385 @@
+"""Deduplication operators for the training-data pipeline layer.
+
+The reference has NO dedup (SURVEY.md O17 — its live loop refetches the same
+URL 11x, /root/reference/cmd/transmitter/main.go:179-187; its TTL cache,
+internal/cache/in_memory.go, is the only seen-set-shaped structure). A
+100 TB web-text engine needs document-level dedup as a first-class stage.
+Five strategies, all expressed Spark-first:
+
+* exact        — fingerprint groupBy (one shuffle on a 128-bit key);
+* n-gram Jaccard — exact pair detection via an *inverted shingle index*
+                 (posting-list self-join), never an O(n^2) cross join;
+* MinHash+LSH  — 128-perm signatures as one Arrow-vectorized UDF (C-level
+                 string hashing + numpy uint64 permutations), banded into
+                 buckets; only bucket-colliding candidates are verified;
+* SimHash      — 64-bit bit-vote sketch, same vectorized hashing; 16x4-bit
+                 band blocking guarantees every pair within Hamming
+                 distance 15 collides in >=1 band (pigeonhole);
+* embedding    — cosine near-dup, exact all-pairs for verification scale and
+                 the LSH-bucketed path in operators/similarity.py for 100 TB.
+
+Scale notes: every strategy's shuffle is keyed on tokens/buckets, not docs,
+so hot shingles are the skew risk — ``df_shingle_postings`` drops shingles
+whose posting list exceeds ``max_df`` (a stopword-shingle in every doc would
+otherwise create a quadratic bucket), standard practice and harmless for
+near-dup semantics when max_df >> any real duplicate-cluster size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from web_scraper_v1_spark.functions import text as TX
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep the lowest-id representative per normalized-text fingerprint.
+    One hash-partitioned groupBy on the md5 key; at 100 TB the key is 16
+    bytes/doc and the agg is map-side partial."""
+    return (
+        docs.select(
+            TX.fingerprint_md5(F.col(text_col)).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("kept_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+    )
+
+
+def doc_shingles(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingles, n_shingles) with distinct word n-grams; docs with
+    fewer than n tokens drop out (no shingles -> cannot near-dup match).
+
+    Arrow-vectorized UDF rather than the equivalent JVM
+    transform/element_at lambda (functions/text.word_shingles): Spark
+    evaluates higher-order-function lambdas interpreted (no whole-stage
+    codegen), measured ~15s for 5k docs vs <1s here; semantics are
+    identical (same tokens as text.tokens: trim/lower/split-whitespace)."""
+
+    @F.pandas_udf("array<string>")
+    def _shingle(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append([])
+                continue
+            w = t.strip().lower().split()
+            if len(w) < n:
+                out.append([])
+                continue
+            seen: dict[str, None] = {}
+            for i in range(len(w) - n + 1):
+                seen[" ".join(w[i : i + n])] = None
+            out.append(list(seen))
+        return pd.Series(out)
+
+    out = docs.select(
+        F.col(id_col).alias("id"),
+        _shingle(F.col(text_col)).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+    return out.filter(F.col("n_shingles") > 0)
+
+
+def _verified_pairs(
+    candidates: DataFrame, shingled: DataFrame, threshold: float
+) -> DataFrame:
+    """Join candidate (id_a < id_b) pairs back to their shingle sets and
+    keep pairs with exact Jaccard >= threshold. Output schema is shared by
+    every near-dup strategy so they are oracle-comparable."""
+    a = shingled.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = shingled.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT near-dup pairs via inverted shingle index: explode shingles,
+    self-join posting lists (shuffle keyed by shingle), count co-occurrences
+    -> |A∩B|, then Jaccard from set sizes. A pair with Jaccard >= t shares
+    at least one shingle, so the posting-list join finds every such pair
+    (complete for any t > 0 given max_df is not exceeded by a true pair's
+    shared shingle — see df-prune note in the module docstring)."""
+    shingled = doc_shingles(docs, id_col, text_col, n)
+    postings = shingled.select(
+        "id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    if max_df:
+        df_counts = postings.groupBy("shingle").agg(
+            F.count("*").alias("_df")
+        )
+        postings = (
+            postings.join(
+                df_counts.filter(F.col("_df") <= max_df), "shingle"
+            ).drop("_df")
+        )
+    a = postings.select(
+        F.col("shingle"),
+        F.col("id").alias("id_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    b = postings.select(
+        F.col("shingle"),
+        F.col("id").alias("id_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast(
+                    "double"
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return pairs.select("id_a", "id_b", "jaccard")
+
+
+_SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
+_MIX1 = np.uint64(0xBF58476D1CE4E5B9)
+_MIX2 = np.uint64(0x94D049BB133111EB)
+
+
+def _perm_constants(num_hashes: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic universal-hash constants a_i (odd), b_i via
+    splitmix64 of the permutation index — no RNG state."""
+    i = np.arange(1, num_hashes + 1, dtype=np.uint64) * _SPLITMIX_GAMMA
+    z = i.copy()
+    z ^= z >> np.uint64(30)
+    z *= _MIX1
+    z ^= z >> np.uint64(27)
+    a = (z * _MIX2) | np.uint64(1)
+    b = (z ^ (z >> np.uint64(31))) * _MIX1
+    return a, b
+
+
+def _hash_shingles(shingles) -> np.ndarray:
+    """Vectorized 64-bit string hashing (pandas' C-level SipHash-alike,
+    fixed key -> deterministic across runs and executors)."""
+    return pd.util.hash_array(
+        np.asarray(shingles, dtype=object), hash_key="web_scraper_v1_s"
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, num_hashes: int = 128
+) -> DataFrame:
+    """num_hashes-permutation MinHash signature per doc as one vectorized
+    Arrow UDF: shingles are string-hashed once (vectorized C hashing),
+    permutations are wrapping universal hashes a_i*h+b_i (numpy uint64
+    broadcast), per-doc min along the shingle axis. No shuffle — the
+    signature is a scan-side projection, which is what survives at 10^10
+    docs. (The all-JVM alternative — explode + 128 min-aggregates — loses
+    whole-stage codegen above spark.sql.codegen.maxFields=100 and measured
+    ~25s for 5k docs vs <1s here; hash choice is free because candidates
+    are verified with exact Jaccard.)"""
+    a, b = _perm_constants(num_hashes)
+
+    @F.pandas_udf("array<long>")
+    def _sig(shingle_lists: pd.Series) -> pd.Series:
+        out = []
+        for sh in shingle_lists:
+            h = _hash_shingles(sh)
+            perms = h[:, None] * a[None, :] + b[None, :]
+            out.append(perms.min(axis=0).astype(np.int64))
+        return pd.Series(out)
+
+    return shingled.select("id", _sig("shingles").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified exact. b=32 bands x r=4 rows:
+    a pair at Jaccard 0.8 collides in >=1 band with probability
+    1-(1-0.8^4)^32 ≈ 1 - 5e-8, so after exact verification the output
+    equals the exact-Jaccard result with overwhelming probability — that is
+    the oracle contract. Shuffles are keyed by (band, band_key): bucket
+    sizes are the skew concern at 100 TB; identical docs form the only big
+    buckets and exact-dedup runs first in the full pipeline."""
+    rows_per_band = num_hashes // bands
+    shingled = doc_shingles(docs, id_col, text_col, n).persist()
+    sigs = minhash_signatures(shingled, num_hashes).persist()
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                *[
+                    F.element_at("sig", b * rows_per_band + j + 1)
+                    for j in range(rows_per_band)
+                ]
+            ).alias("band_key"),
+        ),
+    )
+    buckets = sigs.select(
+        "id", F.explode(band_structs).alias("bk")
+    ).select("id", "bk.band", "bk.band_key")
+    la = buckets.select("band", "band_key", F.col("id").alias("id_a"))
+    lb = buckets.select("band", "band_key", F.col("id").alias("id_b"))
+    candidates = (
+        la.join(lb, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verified_pairs(candidates, shingled, threshold)
+
+
+def simhash_sketches(shingled: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc as one vectorized Arrow UDF: shingles are
+    string-hashed in C (same deterministic hasher as MinHash), bit votes
+    via numpy broadcast, majority -> sketch. Scan-side projection, no
+    shuffle (the reference's Parser[T] 'custom scalar' surface, SURVEY.md
+    O8 analog — custom sketches are the sanctioned pandas-UDF case)."""
+    bit_idx = np.arange(64, dtype=np.uint64)
+    bit_val = (np.uint64(1) << bit_idx).astype(np.uint64)
+
+    @F.pandas_udf("long")
+    def _simhash(shingle_lists: pd.Series) -> pd.Series:
+        out = np.empty(len(shingle_lists), dtype=np.int64)
+        for i, sh in enumerate(shingle_lists):
+            h = _hash_shingles(sh)
+            bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
+            votes = bits.sum(axis=0) * 2 > len(h)
+            out[i] = bit_val[votes].sum(dtype=np.uint64).astype(np.int64)
+        return pd.Series(out)
+
+    return shingled.select("id", _simhash("shingles").alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_hamming: int = 15,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup pairs, verified exact. Blocking: the 64-bit sketch
+    splits into 16 bands of 4 bits; by pigeonhole any pair with Hamming
+    distance <= 15 shares at least one band, so the band join is a
+    *complete* screen for Hamming <= max_hamming=15. Near-dup docs
+    (Jaccard >= 0.8) share the vast majority of shingle hashes, putting
+    their sketches well inside that radius; the exact-Jaccard verification
+    then makes precision 1.0."""
+    shingled = doc_shingles(docs, id_col, text_col, n).persist()
+    sk = simhash_sketches(shingled).persist()
+    # 16 bands of 4 bits; shiftrightunsigned-by-column only exists at the
+    # SQL layer (the Python builtin requires a literal shift)
+    band_structs = F.expr(
+        "transform(sequence(0, 15), b -> struct("
+        "cast(b as int) as band, "
+        "shiftrightunsigned(simhash, cast(b * 4 as int)) & 15 as band_key))"
+    )
+    buckets = sk.select(
+        "id", "simhash", F.explode(band_structs).alias("bk")
+    ).select("id", "simhash", "bk.band", "bk.band_key")
+    la = buckets.select(
+        "band", "band_key", F.col("id").alias("id_a"),
+        F.col("simhash").alias("sh_a"),
+    )
+    lb = buckets.select(
+        "band", "band_key", F.col("id").alias("id_b"),
+        F.col("simhash").alias("sh_b"),
+    )
+    candidates = (
+        la.join(lb, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))
+            )
+            <= max_hamming
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return _verified_pairs(candidates, shingled, threshold)
+
+
+def embedding_neardup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup (the verification-scale baseline;
+    the LSH-bucketed scale path lives in operators/similarity.py). Norms
+    are precomputed once per vector; the pair join carries only
+    (id, vec, norm). All arithmetic in double with left-to-right folds so
+    the DuckDB oracle's list_cosine_similarity agrees to rounding."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = embs.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.sqrt(
+            F.aggregate(
+                v, F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ).alias("norm"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,208 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+No reference counterpart (the reference carries only flat strings,
+/root/reference/internal/model/job.go:8-14) — this is the training-data
+pipeline layer a 100 TB web-text engine needs alongside dedup.
+
+Two paths:
+* brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the full corpus, JVM-side dot products via
+  zip_with/aggregate, per-query window top-k. Linear in corpus size,
+  perfectly partition-parallel, zero Python.
+* sign-LSH bucketed top-k — the scale path: H hash-derived pseudo-random
+  hyperplanes give every vector an H-bit signature; candidates are vectors
+  sharing >= (H - max_flips) signature bits with the query (banded match on
+  signature prefixes), scored exactly within buckets. Recall is tunable via
+  H/max_flips; at 10^10 vectors the bucket join replaces the full scan.
+
+Determinism: hyperplane components derive from md5 of (plane, dim) — no RNG
+state, so every run and every engine sees the same planes (Workflow-style
+restriction: nothing here depends on wall clock or random seeds).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(vec_col: str):
+    return F.transform(F.col(vec_col), lambda x: x.cast("double"))
+
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk(
+    embs: DataFrame,
+    query_ids: DataFrame | None = None,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector (default: the
+    query set IS ``query_ids`` joined back to ``embs``). The query side is
+    broadcast (small); the corpus never shuffles — the only exchange is the
+    per-query top-k aggregation, and ranking ties break on rounded score
+    then neighbor id so results are engine-portable."""
+    v = _as_double(vec_col)
+    base = embs.select(
+        F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("norm")
+    )
+    queries = base
+    if query_ids is not None:
+        queries = base.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("id"))), "id"
+        )
+    q = queries.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        base.join(F.broadcast(q))
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("v"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) maps
+    md5(p:d) to [-1, 1). Pure function of (dim, n_planes)."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{p}:{d}".encode()).digest()
+            u = int.from_bytes(h[:8], "big") / 2**64  # [0,1)
+            row.append(2.0 * u - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signatures(
+    embs: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """n_planes-bit sign signature per vector, computed JVM-side against a
+    literal plane matrix (the planes are tiny constants baked into the
+    plan — nothing is shuffled or broadcast)."""
+    v = _as_double(vec_col)
+    planes = hyperplanes(dim, n_planes)
+    bits = []
+    for p, row in enumerate(planes):
+        plane = F.array(*[F.lit(c) for c in row])
+        bits.append(
+            F.when(_dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return embs.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        _norm(v).alias("norm"),
+        sig.cast("long").alias("sig"),
+    )
+
+
+def lsh_ann_topk(
+    embs: DataFrame,
+    query_ids: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates are corpus vectors sharing at least
+    one signature *band* (n_planes/bands bits) with the query — the
+    multi-probe analog of the MinHash band trick. Exact cosine is computed
+    only inside buckets; at 10^10 vectors the band join touches a small
+    corpus slice per query instead of a full scan. Approximate => no SQL
+    oracle; the pytest gate checks recall against cosine_topk instead."""
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sigs = lsh_signatures(embs, dim, n_planes, id_col, vec_col)
+    band_structs = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> struct("
+        "cast(b as int) as band, "
+        f"shiftrightunsigned(sig, cast(b * {bits_per_band} as int))"
+        f" & {mask} as band_key))"
+    )
+    buckets = sigs.select(
+        "id", "v", "norm", F.explode(band_structs).alias("bk")
+    ).select("id", "v", "norm", "bk.band", "bk.band_key")
+    qside = (
+        buckets.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("id"))), "id"
+        )
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            "band",
+            "band_key",
+        )
+    )
+    candidates = (
+        buckets.join(F.broadcast(qside), ["band", "band_key"])
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", "qv", "qnorm", "id", "v", "norm")
+        .dropDuplicates(["query_id", "id"])
+    )
+    scored = candidates.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )

@@ -1,0 +1,902 @@
+"""Driver-contract query registry: every operator from SURVEY.md §2 plus the
+training-data pipeline layer, each as a (spark, sf_dir) -> DataFrame callable
+with an exact ANSI-SQL DuckDB oracle twin (see ``__spark_entry__.py``).
+
+Oracle-parity rules observed throughout (the driver hash-compares values):
+* every computed column is aliased identically on both sides;
+* double SUMs are avoided — money/metric aggregates use the exact-integer
+  trick: per-row ``CAST(round(x * 10^k) AS BIGINT)`` (bit-identical per-row
+  IEEE arithmetic in both engines) summed as int64;
+* single-row double arithmetic (ratios, cosines) is written with identical
+  operation order in both engines, then rounded;
+* regex/text expressions restrict to constructs with identical Spark/DuckDB
+  semantics (inputs trimmed before '\\s+' splits; DuckDB replaces get the
+  'g' flag).
+
+The crawl-specific queries (url_canonicalize, per_host_wave, seen-anti-join,
+crawl_slice) run on a URL corpus derived *identically in both engines* from
+the ``documents`` table (host = doc_id % 37), so the relational semantics of
+the frontier operators are oracle-gated without shipping fixture files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from web_scraper_v1_spark.functions import text as TX
+from web_scraper_v1_spark.functions import urls as U
+from web_scraper_v1_spark.functions.extraction import extract_receiver_response
+from web_scraper_v1_spark.functions.multimodal import (
+    extract_features,
+    synthesize_media_from_documents,
+)
+from web_scraper_v1_spark.operators import dedup as DD
+from web_scraper_v1_spark.operators import similarity as SIM
+from web_scraper_v1_spark.operators.frontier import per_host_topk, prepare_seeds
+from web_scraper_v1_spark.operators.seen import SeenSet
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# registry filled by @_q below: name -> (fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def _q(name: str, sql: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def cents(col, scale: float = 100.0):
+    """Exact-integer money/metric encoding (identical per-row IEEE ops in
+    Spark and DuckDB, then an exact int64 sum)."""
+    return F.round(col * F.lit(scale)).cast("long")
+
+
+# --------------------------------------------------------------------------
+# Relational / crawl building blocks (SURVEY.md §2)
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "scan_project",
+    """
+    SELECT c_custkey,
+           'Customer: ' || c_name || ' [' || c_mktsegment || ']' AS label,
+           CAST(round(c_acctbal * 100.0) AS BIGINT) AS acctbal_c
+    FROM customer
+    """,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 full scan + O14 projection (Job.String formatting,
+    /root/reference/internal/model/job.go:20-29)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.concat(
+            F.lit("Customer: "),
+            F.col("c_name"),
+            F.lit(" ["),
+            F.col("c_mktsegment"),
+            F.lit("]"),
+        ).alias("label"),
+        cents(F.col("c_acctbal")).alias("acctbal_c"),
+    )
+
+
+@_q(
+    "filter_predicate",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100.0) AS BIGINT) AS totalprice_c
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 250000.0
+    """,
+)
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 predicate filter — the reference fetches ALL rows then filters
+    client-side (mongo_repository.go:104-120); Catalyst pushes this into
+    the parquet scan instead (PushedFilters in .explain)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 250000.0)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        cents(F.col("o_totalprice")).alias("totalprice_c"),
+    )
+
+
+@_q(
+    "string_ops",
+    """
+    SELECT p_partkey,
+           split_part(p_name, ' ', 1) AS name_head,
+           regexp_split_to_array(p_name, ' ')[-1] AS name_tail,
+           upper(trim(p_brand)) AS brand_u,
+           split_part(p_brand, '#', 2) AS brand_num
+    FROM part
+    """,
+)
+def q_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O15 string scalar ops (split/HasPrefix/TrimSpace analogs,
+    receiver_response_parser.go:19-33, config.go:137-143)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring_index("p_name", " ", 1).alias("name_head"),
+        F.element_at(F.split("p_name", " "), -1).alias("name_tail"),
+        F.upper(F.trim(F.col("p_brand"))).alias("brand_u"),
+        F.element_at(F.split("p_brand", "#"), 2).alias("brand_num"),
+    )
+
+
+@_q(
+    "groupby_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(round(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_base_c,
+           CAST(SUM(CAST(round((l_extendedprice * (1.0 - l_discount)) * 10000.0)
+                    AS BIGINT)) AS BIGINT) AS sum_disc_c,
+           round(CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped agg — the metrics rollup the reference lacks
+    (SURVEY.md §2 'no aggregations'); map-side partial agg, one shuffle on
+    the tiny group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    sum_qty = F.sum(F.round("l_quantity").cast("long"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(
+                cents(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                    10000.0,
+                )
+            ).alias("sum_disc_c"),
+            F.round(
+                sum_qty.cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@_q(
+    "window_topk",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey) AS INT) AS rn
+    FROM orders
+    QUALIFY rn <= 3
+    """,
+)
+def q_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 FIFO dequeue as a window-ranked per-key priority queue (the
+    politeness wave pattern, taskqueue/queue.go:52-61 -> Window+row_number)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+@_q(
+    "anti_join_seen",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_custkey NOT IN
+          (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+    """,
+)
+def q_anti_join_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O17 seen-set membership as a left_anti join (the URL-seen
+    pattern: in_memory.go:51-61 -> anti-join on the key). 'Seen' =
+    customers with a pending order — 56 of 1500 survive at sf0.01, so the
+    oracle match is non-trivial."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@_q(
+    "union_distinct",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 frontier growth (unionByName) + O17 distinct."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+@_q(
+    "broadcast_join",
+    """
+    SELECT p.p_brand,
+           CAST(SUM(CAST(round((l.l_extendedprice * (1.0 - l.l_discount)) * 10000.0)
+                    AS BIGINT)) AS BIGINT) AS revenue_c,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 fetch-as-join: the big fact side never shuffles for the join —
+    the small dim is broadcast (frontier x pages pattern, SURVEY.md §1.3)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(
+                cents(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                    10000.0,
+                )
+            ).alias("revenue_c"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@_q(
+    "retry_explode",
+    """
+    SELECT o_orderkey,
+           CAST(unnest(generate_series(1, CAST(1 + o_orderkey % 3 AS INT)))
+                AS INT) AS attempt,
+           CASE WHEN CAST(unnest(generate_series(1, CAST(1 + o_orderkey % 3 AS INT)))
+                     AS INT) < 1 + o_orderkey % 3
+                THEN 'failed' ELSE 'fetched' END AS outcome
+    FROM orders
+    WHERE o_orderkey % 997 = 0
+    """,
+)
+def q_retry_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 per-task retry: attempts column -> posexplode(sequence(1, n)),
+    last attempt succeeds/drops (taskqueue/worker.go:81-95)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 997 == 0)
+    n = (F.lit(1) + F.col("o_orderkey") % 3).cast("int")
+    return (
+        o.select("o_orderkey", n.alias("n_attempts"))
+        .select(
+            "o_orderkey",
+            "n_attempts",
+            F.explode(F.sequence(F.lit(1), F.col("n_attempts"))).alias(
+                "attempt"
+            ),
+        )
+        .select(
+            "o_orderkey",
+            F.col("attempt").cast("int").alias("attempt"),
+            F.when(F.col("attempt") < F.col("n_attempts"), "failed")
+            .otherwise("fetched")
+            .alias("outcome"),
+        )
+    )
+
+
+@_q(
+    "topk_global",
+    """
+    SELECT event_id, event_type,
+           CAST(round(value * 1000000.0) AS BIGINT) AS value_micros
+    FROM events
+    ORDER BY ts, event_id
+    LIMIT 100
+    """,
+)
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 global FIFO head-of-line: deterministic total order (ts,
+    event_id) + limit — TakeOrderedAndProject, no full sort at scale."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.orderBy("ts", "event_id")
+        .limit(100)
+        .select(
+            "event_id",
+            "event_type",
+            cents(F.col("value"), 1000000.0).alias("value_micros"),
+        )
+    )
+
+
+@_q(
+    "json_decode",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 stream decode: from_json with skip-on-error nulls
+    (rabbitmq_consumer.go:84-87 -> PERMISSIVE mode yields null fields for
+    malformed payloads; a single typed parse, ~2x get_json_object)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "k", F.from_json("props", "k BIGINT").getField("k")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"), F.count("*").alias("n")
+    )
+
+
+@_q(
+    "ttl_filter",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) AS BIGINT) AS value_micros
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_ttl_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16 TTL semantics: expiry filter on the timestamp column
+    (in_memory.go:51-61 -> filter(expiry_ts > now))."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.filter(
+            F.col("ts") >= F.lit("2024-01-20 00:00:00").cast("timestamp")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"), 1000000.0)).alias("value_micros"),
+        )
+    )
+
+
+@_q(
+    "rollup_metrics",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup (SURVEY.md §2 'no counterpart' category) — the
+    per-round metrics hierarchy (O24 analog) at host/total grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round("l_quantity").cast("long")).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Derived URL corpus (identical derivation in both engines)
+# --------------------------------------------------------------------------
+
+_URL_SQL = (
+    "'http://host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/doc/'"
+    " || CAST(doc_id AS VARCHAR)"
+)
+_HOST_SQL = "'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'"
+
+
+def _derived_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 37).cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("host"), h, F.lit(".example.com")).alias("host"),
+    )
+
+
+@_q(
+    "url_canonicalize",
+    f"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 4 AS INT)
+             WHEN 0 THEN 'http://host' || CAST(doc_id % 37 AS VARCHAR)
+                  || '.example.com/doc/' || CAST(doc_id AS VARCHAR) || '?x=1'
+             WHEN 1 THEN 'https://host' || CAST(doc_id % 37 AS VARCHAR)
+                  || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             WHEN 2 THEN 'http://host' || CAST(doc_id % 37 AS VARCHAR)
+                  || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             ELSE 'http://host' || CAST(doc_id % 37 AS VARCHAR)
+                  || '.example.com/'
+           END AS canonical_url,
+           {_HOST_SQL} AS host
+    FROM documents
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule canonicalization: messy variants (uppercase scheme/host,
+    default ports, fragments, bare '?', empty path) normalize to the oracle's
+    directly-constructed canonical form. The Spark side actually runs
+    functions/urls.py canonicalize() on the messy strings."""
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 37).cast("string")
+    i = F.col("doc_id").cast("string")
+    messy = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTP://Host"), h, F.lit(".Example.COM:80/doc/"),
+                i, F.lit("?x=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://Host"), h, F.lit(".example.COM:443/doc/"), i
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("http://host"), h, F.lit(".example.com/doc/"), i,
+                F.lit("?"),
+            ),
+        )
+        .otherwise(F.concat(F.lit("http://host"), h, F.lit(".example.com")))
+    )
+    return d.select(
+        "doc_id",
+        U.canonicalize(messy).alias("canonical_url"),
+        U.host(messy).alias("host"),
+    )
+
+
+@_q(
+    "per_host_wave",
+    f"""
+    SELECT {_HOST_SQL} AS host, doc_id
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY {_HOST_SQL} ORDER BY doc_id) <= 3
+    """,
+)
+def q_per_host_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 politeness wave on the derived URL corpus: salted two-phase
+    per-host top-k (operators/frontier.per_host_topk) — result provably
+    independent of the salt, which the oracle confirms."""
+    urls = _derived_urls(spark, sf_dir)
+    frontier = urls.select(
+        "host",
+        F.col("doc_id").alias("queue_seq"),
+        U.url_hash(F.col("url")).alias("url_hash"),
+        "doc_id",
+    )
+    wave = per_host_topk(frontier, k=3, salt_buckets=4)
+    return wave.filter(F.col("selected")).select("host", "doc_id")
+
+
+@_q(
+    "seen_anti_join_urls",
+    f"""
+    SELECT doc_id, {_URL_SQL} AS url
+    FROM documents
+    WHERE doc_id % 7 <> 0
+    """,
+)
+def q_seen_anti_join_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O16/O17 end-to-end seen-set: Bloom prefilter (treeAggregate-merged,
+    operators/seen.SeenSet) + exact anti-join; exactness despite the
+    approximate prefilter is what the oracle certifies."""
+    urls = _derived_urls(spark, sf_dir)
+    cand = urls.withColumn("url_hash", U.url_hash(F.col("url")))
+    seen = cand.filter(F.col("doc_id") % 7 == 0).select("url_hash", "url")
+    ss = SeenSet(spark, n_bits=1 << 20, use_bloom=True)
+    ss.load(seen)
+    return ss.filter_new(cand).select("doc_id", "url")
+
+
+@_q(
+    "crawl_slice",
+    f"""
+    WITH seeds AS (
+      SELECT doc_id, CAST(doc_id % 37 AS VARCHAR) AS h
+      FROM documents WHERE doc_id % 2 = 0
+    ), wave AS (
+      SELECT * FROM seeds
+      QUALIFY row_number() OVER (
+        PARTITION BY 'host' || h || '.example.com' ORDER BY doc_id) <= 2
+    )
+    SELECT 'http://host' || h || '.example.com/doc/' || CAST(doc_id AS VARCHAR)
+             AS url,
+           'UA-' || CAST(doc_id AS VARCHAR) AS user_agent,
+           '10.' || h || '.0.' || CAST(doc_id % 256 AS VARCHAR) AS ip_address,
+           'host' || h || '.example.com' AS forwarded_host
+    FROM wave
+    """,
+)
+def q_crawl_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship §3.1 slice end-to-end: seeds -> canonicalize/dedup
+    (prepare_seeds) -> per-host politeness wave -> fetch-as-broadcast-join
+    against the page corpus -> vectorized extraction UDF. Pages synthesize
+    from ``documents`` with receiver-template bodies
+    (/root/reference/cmd/receiver/main.go:30), so the whole pipeline is
+    SQL-oracle-gated."""
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 37).cast("string")
+    i = F.col("doc_id").cast("string")
+    url = F.concat(
+        F.lit("http://host"), h, F.lit(".example.com/doc/"), i
+    )
+    pages = d.select(
+        url.alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("Received User-Agent: UA-"), i,
+                F.lit("\nIP Address: 10."), h, F.lit(".0."),
+                (F.col("doc_id") % 256).cast("string"),
+                F.lit("\nForwarded Host: host"), h, F.lit(".example.com"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+    seeds = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(F.lit("task-"), (F.col("doc_id") + 1).cast("string")).alias(
+            "task_id"
+        ),
+        url.alias("url"),
+    )
+    prepared = prepare_seeds(seeds, batch_size=1_000_000)
+    wave = per_host_topk(prepared, k=2, salt_buckets=4).filter(
+        F.col("selected")
+    )
+    pages_keyed = pages.select(
+        U.canonicalize(F.col("url")).alias("canonical_url"), "html"
+    )
+    fetched = pages_keyed.join(
+        F.broadcast(wave.select("canonical_url")), "canonical_url"
+    )
+    parsed = fetched.withColumn(
+        "r", extract_receiver_response(F.col("html"))
+    )
+    return parsed.filter(~F.col("r.parse_error")).select(
+        F.col("canonical_url").alias("url"),
+        F.col("r.user_agent").alias("user_agent"),
+        F.col("r.ip_address").alias("ip_address"),
+        F.col("r.forwarded_host").alias("forwarded_host"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (training-data pipeline layer)
+# --------------------------------------------------------------------------
+
+_STOP_SQL = "['the','a','of','and','to','in','is','it']"
+
+
+@_q(
+    "token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(trim(lower(text)),
+                '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting (functions/text.py)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe_ish"),
+    )
+
+
+@_q(
+    "quality_score",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+        least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) AS len_term,
+        1.0 - least(
+          (CAST(len(list_filter(w, t -> list_contains({_STOP_SQL}, t)))
+                AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 2.0, 1.0)
+          AS stop_term,
+        1.0 - least(
+          (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 4.0, 1.0)
+          AS punct_term
+      FROM tok
+    )
+    SELECT doc_id, round(len_term * stop_term * punct_term, 6) AS quality
+    FROM parts
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/punctuation quality heuristic — pure JVM-side
+    expressions, oracle replicates the identical formula."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.quality_score(F.col("text")).alias("quality")
+    )
+
+
+@_q(
+    "lang_id",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), scores AS (
+      SELECT doc_id,
+        len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS c_en,
+        len(list_filter(w, t -> list_contains(['der','die','das','und','ist'], t))) AS c_de,
+        len(list_filter(w, t -> list_contains(['el','la','de','y','es'], t))) AS c_es,
+        len(list_filter(w, t -> list_contains(['le','la','et','est','les'], t))) AS c_fr,
+        len(list_filter(w, t -> list_contains(['的','是','了','在','和'], t))) AS c_zh
+      FROM tok
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+           WHEN c_en = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+           WHEN c_de = greatest(c_de, c_es, c_fr, c_zh) THEN 'de'
+           WHEN c_es = greatest(c_es, c_fr, c_zh) THEN 'es'
+           WHEN c_fr = greatest(c_fr, c_zh) THEN 'fr'
+           ELSE 'zh' END AS predicted_lang
+    FROM scores
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with deterministic first-wins tie-break
+    (the winner is the first language attaining the max count)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.lang_id(F.col("text")).alias("predicted_lang")
+    )
+
+
+@_q(
+    "fingerprint_md5",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def q_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document fingerprint of whitespace-normalized text."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", TX.fingerprint_md5(F.col("text")).alias("fingerprint")
+    )
+
+
+@_q(
+    "dedup_exact",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             AS fingerprint,
+           MIN(doc_id) AS kept_id,
+           COUNT(*) AS n_copies
+    FROM unioned
+    GROUP BY 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup over a corpus with injected duplicates (the testdata has
+    none): fingerprint groupBy keeping the lowest id (operators/dedup)."""
+    d = _t(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return DD.exact_dedup(d.unionByName(dup))
+
+
+_JACCARD_ORACLE = """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                        AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                 AS DOUBLE), 6) >= 0.8
+"""
+
+
+@_q("ngram_jaccard_dedup", _JACCARD_ORACLE)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup pairs (word-3-gram Jaccard >= 0.8) via inverted
+    shingle index — posting-list join, never O(n^2)."""
+    return DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@_q("minhash_lsh_dedup", _JACCARD_ORACLE)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128)+LSH(32x4) near-dup with exact verification — the
+    oracle is the exact-Jaccard result; band recall at t=0.8 is
+    1 - (1 - 0.8^4)^32 ≈ 1 - 5e-8 per pair."""
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@_q("simhash_dedup", _JACCARD_ORACLE)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit, 16x4-bit bands) near-dup with exact verification.
+    Band blocking is complete for Hamming <= 15 (pigeonhole); Jaccard-0.8
+    pairs sit at Hamming <= ~8 on this corpus."""
+    return DD.simhash_pairs(_t(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@_q(
+    "embedding_neardup",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e))
+                    * sqrt(list_dot_product(b.e, b.e))), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.e, b.e)
+          / (sqrt(list_dot_product(a.e, a.e))
+             * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.45
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the LSH
+    scale path is ann_lsh below)."""
+    return DD.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    )
+
+
+@_q(
+    "ann_bruteforce",
+    """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT * FROM v WHERE vec_id < 20
+    ), scored AS (
+      SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+             round(list_dot_product(q.e, v.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(v.e, v.e))), 6) AS c6
+      FROM q JOIN v ON v.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY c6 DESC, neighbor_id) AS INT) AS rank,
+           round(c6, 4) AS cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for 20 query vectors: broadcast query
+    side, JVM-side dot products, per-query window top-k."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 20)
+    return SIM.cosine_topk(embs, qids, k=5)
+
+
+# --------------------------------------------------------------------------
+# Rows-only queries (genuinely non-SQL-expressible; weaker driver check)
+# --------------------------------------------------------------------------
+
+
+@_q("ann_lsh", None)
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (approximate -> no SQL oracle; pytest gates
+    recall against the brute-force baseline instead)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 20)
+    return SIM.lsh_ann_topk(embs, qids, dim=64, k=5)
+
+
+@_q("multimodal_features", None)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload media plumbing: synthesized opaque payloads ->
+    mapInPandas feature extraction (deterministic fake codec; the real
+    decode seam raises NotImplementedError per the container's
+    no-media-libs constraint)."""
+    media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
+    feats = extract_features(media, use_fake=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4)
+        .alias("feature_sum"),
+    )
+
+
+@_q("winnow_fingerprint", None)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (custom sketch -> Arrow UDF;
+    no SQL twin)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(TX.winnow_fingerprints(F.col("text"))).cast("long").alias(
+            "n_fingerprints"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# public surface
+# --------------------------------------------------------------------------
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None
+    }

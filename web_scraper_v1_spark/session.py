@@ -36,6 +36,20 @@ def _package_zip() -> str:
     return out
 
 
+def ship_package(spark: SparkSession) -> None:
+    """Idempotently ship this package to executors of an externally-built
+    session (the driver's harness builds its own SparkSession) so
+    module-level pandas UDFs resolve on Python workers."""
+    sc = spark.sparkContext
+    if getattr(sc, "_wsv1_shipped", False):
+        return
+    try:
+        sc.addPyFile(_package_zip())
+    except Exception:
+        pass  # already added with identical contents
+    sc._wsv1_shipped = True
+
+
 def build_session(
     app_name: str = "web_scraper_v1_spark",
     cores: int | None = None,
@@ -58,6 +72,7 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
