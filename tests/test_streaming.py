@@ -1,0 +1,94 @@
+"""Structured Streaming message-plane tests (O9/O10 analog): JSON
+encode/decode roundtrip with skip-on-error, watermarked windowed metrics,
+and the applyInPandasWithState cumulative-count operator. All streams are
+driven with availableNow triggers — bounded and deterministic."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_scraper_v1_spark.streaming.results_stream import (
+    RESULT_MSG_SCHEMA,
+    cumulative_host_counts,
+    decode_results,
+    encode_results,
+    host_rate_metrics,
+    read_results_stream,
+    run_to_sink,
+)
+
+T0 = dt.datetime(2024, 12, 7, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def queue_dir(spark, tmp_path_factory):
+    """Publish two batches of messages (plus malformed payloads) to the
+    file-source 'queue'."""
+    qdir = str(tmp_path_factory.mktemp("queue"))
+    rows = [
+        (
+            f"http://host{i % 3}.example.com/p/{i}",
+            f"UA-{i}",
+            f"10.0.0.{i}",
+            f"host{i % 3}.example.com",
+            T0 + dt.timedelta(seconds=20 * i),
+        )
+        for i in range(30)
+    ]
+    results = spark.createDataFrame(rows, RESULT_MSG_SCHEMA)
+    encode_results(results.filter(F.col("url").endswith("0") == False)).write.mode(
+        "append"
+    ).text(qdir)
+    encode_results(results.filter(F.col("url").endswith("0"))).write.mode(
+        "append"
+    ).text(qdir)
+    # malformed payloads -> must be skipped (rabbitmq_consumer.go:84-87)
+    spark.createDataFrame(
+        [("not json at all",), ('{"half": ',), ("",)], "value string"
+    ).write.mode("append").text(qdir)
+    return qdir
+
+
+def test_decode_roundtrip_skips_malformed(spark, queue_dir, tmp_path):
+    stream = read_results_stream(spark, queue_dir)
+    decoded = decode_results(stream)
+    rows = run_to_sink(decoded, str(tmp_path / "ck1"), "decoded_sink")
+    assert len(rows) == 30  # all valid messages, zero malformed survivors
+    urls = {r.url for r in rows}
+    assert len(urls) == 30
+    assert all(r.user_agent.startswith("UA-") for r in rows)
+
+
+def test_windowed_host_metrics(spark, queue_dir, tmp_path):
+    stream = decode_results(read_results_stream(spark, queue_dir))
+    metrics = host_rate_metrics(stream, "1 minute", "2 minutes")
+    rows = run_to_sink(metrics, str(tmp_path / "ck2"), "metrics_sink")
+    # 30 msgs at 20s spacing = 600s span -> 10 one-minute windows x 3 hosts
+    total = sum(r.n_urls for r in rows)
+    assert total == 30
+    assert {r.host for r in rows} == {
+        "host0.example.com", "host1.example.com", "host2.example.com",
+    }
+    for r in rows:
+        assert r.n_urls <= 3  # 3 msgs/min spread over 3 hosts
+
+
+def test_stateful_cumulative_counts(spark, queue_dir, tmp_path):
+    stream = decode_results(read_results_stream(spark, queue_dir))
+    counts = cumulative_host_counts(stream)
+    rows = run_to_sink(
+        counts, str(tmp_path / "ck3"), "state_sink", output_mode="append"
+    )
+    # per host, the LAST emitted total must equal its overall message count
+    final: dict[str, int] = {}
+    for r in rows:
+        final[r.host] = max(final.get(r.host, 0), r.total_urls)
+    assert final == {
+        "host0.example.com": 10,
+        "host1.example.com": 10,
+        "host2.example.com": 10,
+    }

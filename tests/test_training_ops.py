@@ -91,7 +91,6 @@ def test_embedding_neardup_symmetric_threshold(spark):
 def test_ann_lsh_recall_vs_bruteforce(spark):
     embs = spark.read.parquet(f"{SF}/embeddings.parquet")
     qids = embs.select("vec_id").filter(F.col("vec_id") < 10)
-    exact = DD  # noqa: F841  (clarity)
     brute = {
         (r.query_id, r.neighbor_id)
         for r in SIM.cosine_topk(embs, qids, k=5).collect()

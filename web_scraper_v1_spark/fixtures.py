@@ -203,7 +203,12 @@ def is_malformed(url: str) -> bool:
     return dhash(url, "malformed") % 20 == 0
 
 
-def build_page(i: int, n_hosts: int) -> dict:
+def build_page(i: int, n_hosts: int, filler_lines: int = 0) -> dict:
+    """``filler_lines`` appends hash-derived non-prefix lines to the body —
+    realistic page bulk (real HTML dwarfs the extracted fields). The parser
+    ignores lines without a known prefix (receiver_response_parser.go:26-34
+    loop semantics), so golden text parity is unaffected; fixtures used by
+    the parity tests keep the default 0."""
     url = page_url(i, n_hosts)
     host = host_of(url)
     warc_ts = EPOCH + timedelta(seconds=i)
@@ -214,6 +219,12 @@ def build_page(i: int, n_hosts: int) -> dict:
         ua = chrome_user_agent(url)
         ip = make_ip(url)
         body = RESPONSE_TEMPLATE.format(ua=ua, ip=ip, fh=host)
+        if filler_lines:
+            h = dhash(url, "filler")
+            body += "".join(
+                f"\nx{(h + j) & 0xFFFFFFFF:08x} filler content line {j}"
+                for j in range(filler_lines)
+            )
         parsed = parse_receiver_response(body)
         assert parsed is not None
         text = "\n".join(parsed)
@@ -226,8 +237,10 @@ def build_page(i: int, n_hosts: int) -> dict:
     }
 
 
-def generate_pages(n_pages: int, n_hosts: int = 10) -> list[dict]:
-    return [build_page(i, n_hosts) for i in range(n_pages)]
+def generate_pages(
+    n_pages: int, n_hosts: int = 10, filler_lines: int = 0
+) -> list[dict]:
+    return [build_page(i, n_hosts, filler_lines) for i in range(n_pages)]
 
 
 def generate_seeds(

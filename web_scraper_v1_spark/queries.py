@@ -600,6 +600,79 @@ def q_crawl_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "keyword_filter",
+    """
+    SELECT doc_id, lang
+    FROM documents
+    WHERE regexp_matches(text, 'spark|vector|stream')
+    """,
+)
+def q_keyword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O23 keyword filter (SEARCH_KEYWORDS env -> comma-split list,
+    /root/reference/config/config.go:127-133 — declared but unused in the
+    reference; first-class here): rlike over the keyword alternation,
+    pushed to a JVM-side regex scan."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter(F.col("text").rlike("spark|vector|stream")).select(
+        "doc_id", "lang"
+    )
+
+
+# -- O20: deterministic User-Agent generation ------------------------------
+
+from web_scraper_v1_spark.fixtures import (  # noqa: E402
+    CHROME_OPERATING_SYSTEMS,
+    CHROME_VERSIONS,
+    UA_TEMPLATE,
+)
+
+_UA_PRE, _rest = UA_TEMPLATE.split("{os}")
+_UA_MID, _UA_POST = _rest.split("{version}")
+
+
+def _sql_list(items: list[str]) -> str:
+    return "[" + ", ".join("'" + i.replace("'", "''") + "'" for i in items) + "]"
+
+
+@_q(
+    "ua_generation",
+    f"""
+    SELECT doc_id,
+           '{_UA_PRE}'
+           || {_sql_list(CHROME_OPERATING_SYSTEMS)}
+              [CAST(doc_id % {len(CHROME_OPERATING_SYSTEMS)} AS INT) + 1]
+           || '{_UA_MID}'
+           || {_sql_list(CHROME_VERSIONS)}
+              [CAST(doc_id % {len(CHROME_VERSIONS)} AS INT) + 1]
+           || '{_UA_POST}' AS user_agent
+    FROM documents
+    """,
+)
+def q_ua_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O20 User-Agent generation (ChromeUserAgentGenerator.Generate,
+    /root/reference/internal/useragent/chrome.go:69-74): rand replaced by
+    deterministic modular choice; the template string preserves the
+    reference's exact bytes including the Cyrillic-lookalike 'Mоzillа'
+    (chrome.go:73), which the oracle's value hash certifies byte-for-byte."""
+    d = _t(spark, sf_dir, "documents")
+    os_arr = F.array(*[F.lit(o) for o in CHROME_OPERATING_SYSTEMS])
+    v_arr = F.array(*[F.lit(v) for v in CHROME_VERSIONS])
+    ua = F.concat(
+        F.lit(_UA_PRE),
+        F.element_at(
+            os_arr,
+            (F.col("doc_id") % len(CHROME_OPERATING_SYSTEMS) + 1).cast("int"),
+        ),
+        F.lit(_UA_MID),
+        F.element_at(
+            v_arr, (F.col("doc_id") % len(CHROME_VERSIONS) + 1).cast("int")
+        ),
+        F.lit(_UA_POST),
+    )
+    return d.select("doc_id", ua.alias("user_agent"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis (training-data pipeline layer)
 # --------------------------------------------------------------------------

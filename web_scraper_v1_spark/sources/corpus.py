@@ -83,7 +83,10 @@ def _write(rows: list[dict], schema: pa.Schema, path: str) -> None:
     cols = {f.name: [r[f.name] for r in rows] for f in schema}
     table = pa.Table.from_pydict(cols, schema=schema)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    pq.write_table(table, path)
+    # small row groups keep single-file fixtures splittable: a one-row-group
+    # file caps the Spark scan at one task regardless of
+    # files.maxPartitionBytes (measured: it serializes the bench's scan)
+    pq.write_table(table, path, row_group_size=16384)
 
 
 def materialize_corpus(
@@ -91,6 +94,7 @@ def materialize_corpus(
     n_pages: int = 1000,
     n_seeds: int = 60,
     n_hosts: int = 10,
+    filler_lines: int = 0,
 ) -> dict[str, str]:
     """Write pages/seeds/robots parquet under ``out_dir``; returns paths.
     Idempotent for a given (n_pages, n_seeds, n_hosts)."""
@@ -101,7 +105,11 @@ def materialize_corpus(
     }
     if all(os.path.exists(p) for p in paths.values()):
         return paths
-    _write(fixtures.generate_pages(n_pages, n_hosts), _PAGES_ARROW, paths["pages"])
+    _write(
+        fixtures.generate_pages(n_pages, n_hosts, filler_lines),
+        _PAGES_ARROW,
+        paths["pages"],
+    )
     _write(
         fixtures.generate_seeds(n_seeds, n_pages, n_hosts),
         _SEEDS_ARROW,

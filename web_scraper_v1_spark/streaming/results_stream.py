@@ -1,0 +1,159 @@
+"""Structured Streaming analog of the reference's RabbitMQ message plane.
+
+The reference publishes each parsed record as JSON onto a queue (O9,
+/root/reference/internal/message/publisher/rabbitmq_publisher.go:55-85) and
+consumes it with auto-ack at-most-once semantics, skipping malformed
+payloads (O10, internal/message/consumer/rabbitmq_consumer.go:52-91). Here:
+
+* publish  -> ``encode_results`` (to_json of the record struct) appended as
+  files under a stream directory — the queue is a file source, which is how
+  an Iceberg-backed deployment would expose append snapshots to
+  ``readStream``;
+* consume  -> ``read_results_stream`` + ``decode_results``: schema'd
+  from_json in PERMISSIVE mode; malformed payloads decode to null and are
+  dropped (exactly the consumer's log-and-skip at rabbitmq_consumer.go:84-87
+  — but with exactly-once file-source semantics instead of auto-ack
+  at-most-once);
+* windowed metrics -> ``host_rate_metrics``: event-time window + watermark
+  (late fetch records beyond the watermark are dropped deterministically);
+* custom stateful operator -> ``cumulative_host_counts``:
+  ``applyInPandasWithState`` keeping a per-host running URL count — the
+  streaming twin of the TTL cache's per-key mutable state (O16,
+  internal/cache/in_memory.go:51-87).
+
+Tests drive everything with ``trigger(availableNow=True)`` so streams are
+deterministic and bounded (no wall-clock dependence).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+RESULT_MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("user_agent", T.StringType(), True),
+        T.StructField("ip_address", T.StringType(), True),
+        T.StructField("forwarded_host", T.StringType(), True),
+        T.StructField("fetch_ts", T.TimestampType(), False),
+    ]
+)
+
+
+def encode_results(results: DataFrame) -> DataFrame:
+    """Publisher analog: one JSON document per record (O9's
+    json.Marshal), as a single ``value`` column."""
+    return results.select(
+        F.to_json(F.struct(*[F.col(f.name) for f in RESULT_MSG_SCHEMA]))
+        .alias("value")
+    )
+
+
+def read_results_stream(spark: SparkSession, queue_dir: str) -> DataFrame:
+    """Consumer source: the appended message files as an unbounded stream
+    (maxFilesPerTrigger bounds per-micro-batch work at scale)."""
+    return (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 64)
+        .text(queue_dir)
+    )
+
+
+def decode_results(stream: DataFrame) -> DataFrame:
+    """Consumer decode: from_json (PERMISSIVE -> null on malformed) then
+    drop undecodable rows — the log-and-skip at
+    rabbitmq_consumer.go:84-87."""
+    parsed = stream.select(
+        F.from_json("value", RESULT_MSG_SCHEMA).alias("m")
+    )
+    return parsed.filter(F.col("m").isNotNull() & F.col("m.url").isNotNull()).select("m.*")
+
+
+def host_rate_metrics(
+    decoded: DataFrame,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Event-time windowed fetch-rate per host with a watermark for late
+    records — the streaming version of the per-round metrics table (O24)."""
+    host = F.substring_index(
+        F.substring_index("url", "://", -1), "/", 1
+    ).alias("host")
+    return (
+        decoded.withWatermark("fetch_ts", watermark)
+        .groupBy(F.window("fetch_ts", window_duration).alias("w"), host)
+        .agg(F.count("*").alias("n_urls"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "host",
+            "n_urls",
+        )
+    )
+
+
+_STATE_SCHEMA = "total LONG"
+_OUT_SCHEMA = "host STRING, batch_urls LONG, total_urls LONG"
+
+
+def _update_host_count(
+    key: tuple,
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n = 0
+    for pdf in pdfs:
+        n += len(pdf)
+    (total,) = state.get if state.exists else (0,)
+    total += n
+    state.update((total,))
+    yield pd.DataFrame(
+        {"host": [key[0]], "batch_urls": [n], "total_urls": [total]}
+    )
+
+
+def cumulative_host_counts(decoded: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-host cumulative URL counts
+    via applyInPandasWithState (Arrow-batched state updates; the per-key
+    mutable map of the reference's cache, O16, as managed stream state)."""
+    host = F.substring_index(
+        F.substring_index("url", "://", -1), "/", 1
+    ).alias("host")
+    return (
+        decoded.select(host, "url")
+        .groupBy("host")
+        .applyInPandasWithState(
+            _update_host_count,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_sink(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    query_name: str,
+    output_mode: str = "update",
+) -> list:
+    """Drain the stream deterministically (availableNow) into an in-memory
+    sink; returns collected rows. Test/drive helper — production would
+    writeStream to an Iceberg/parquet sink with the same checkpointing."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.sql(f"SELECT * FROM {query_name}").collect()
