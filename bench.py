@@ -26,12 +26,16 @@ HEADLINE = [
     "per_host_wave",
     "seen_anti_join_urls",
     "url_canonicalize",
+    "robots_filter",
     # relational core
     "groupby_agg",
     "window_topk",
+    "window_running",
     "broadcast_join",
     "anti_join_seen",
+    "semi_join",
     "rollup_metrics",
+    "cube_metrics",
     "topk_global",
     "json_decode",
     # text / training-data layer
@@ -64,6 +68,51 @@ def run_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return timings
 
 
+def run_wave_bench(spark, n_pages: int = 200_000) -> dict:
+    """The north-rule metric: URLs fetched+parsed/sec through the full
+    wave (canonicalize -> dedup -> seen anti-join -> fetch-as-join ->
+    byte-parity extraction -> parse-side sketching) over a deterministic
+    synthetic corpus."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_v1_spark.plans.throughput import fetch_parse_wave
+    from web_scraper_v1_spark.sources.corpus import (
+        materialize_corpus,
+        read_pages,
+        read_seeds,
+    )
+
+    cdir = f"/tmp/bench_corpus_{n_pages}"
+    materialize_corpus(
+        cdir, n_pages=n_pages, n_seeds=n_pages, n_hosts=200, filler_lines=8
+    )
+    pages = read_pages(spark, cdir)
+    seeds = read_seeds(spark, cdir)
+    seen = (
+        pages.select(F.col("url").alias("canonical_url"))
+        .filter(F.xxhash64("url") % 10 == 0)
+        .select(
+            F.xxhash64("canonical_url").alias("url_hash"),
+            F.col("canonical_url").alias("url"),
+        )
+    )
+    wave = fetch_parse_wave(
+        spark, seeds, pages, seen=seen, parse_features=True
+    )
+    wave.count()  # warm
+    t0 = time.monotonic()
+    n = fetch_parse_wave(
+        spark, seeds, pages, seen=seen, parse_features=True
+    ).count()
+    dt = time.monotonic() - t0
+    return {
+        "seconds": round(dt, 3),
+        "urls_parsed": n,
+        "urls_per_sec": round(n / dt, 1),
+        "n_pages": n_pages,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = HEADLINE
@@ -79,6 +128,8 @@ def main() -> None:
     spark.range(1000).count()
 
     timings = run_bench(spark, sf_dir, names)
+    wave = run_wave_bench(spark)
+    timings["fetch_parse_wave"] = wave["seconds"]
     total = round(sum(timings.values()), 3)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
@@ -93,6 +144,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cores": spark.sparkContext.defaultParallelism,
+                "crawl_wave": wave,
             }
         )
     )

@@ -121,10 +121,21 @@ def lang_scores(tok: Column) -> list[Column]:
 def lang_id(text: Column) -> Column:
     """Argmax over marker-hit counts with deterministic precedence
     (LANG_MARKERS order; strict > so earlier languages win ties). Returns
-    'und' when no marker hits at all."""
-    tok = tokens(text)
+    'und' when no marker hits at all.
+
+    Scores count DISTINCT marker types present (array_intersect — a native
+    collection op, ~10x faster than an interpreted filter lambda per
+    language)."""
+    tok = F.array_distinct(tokens(text))
     scores = [
-        (lang, F.size(F.filter(tok, _member_of(markers))))
+        (
+            lang,
+            F.size(
+                F.array_intersect(
+                    tok, F.array(*[F.lit(m) for m in markers])
+                )
+            ),
+        )
         for lang, markers in LANG_MARKERS
     ]
     best_lang = F.lit(scores[0][0])

@@ -601,6 +601,114 @@ def q_crawl_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "robots_filter",
+    f"""
+    SELECT doc_id, {_HOST_SQL} AS host,
+           (doc_id % 37) % 5 = 0
+             AND CAST(doc_id AS VARCHAR) LIKE '9%' AS robots_blocked
+    FROM documents
+    """,
+)
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule robots politeness (no reference counterpart — its only
+    'politeness' is batch-size-3 identity rotation, cmd/transmitter/
+    main.go:180-182): broadcast-join the per-host disallow table, prefix
+    semantics via operators/frontier.apply_robots. Hosts with
+    host_n % 5 == 0 disallow the '/doc/9' prefix."""
+    from web_scraper_v1_spark.operators.frontier import apply_robots
+
+    urls = _derived_urls(spark, sf_dir)
+    tasks = urls.withColumn(
+        "path", F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"))
+    )
+    robots = (
+        urls.select("host").distinct()
+        .withColumn(
+            "disallow_prefixes",
+            F.when(
+                (F.regexp_extract("host", r"host(\d+)\.", 1).cast("int") % 5)
+                == 0,
+                F.array(F.lit("/doc/9")),
+            ).otherwise(F.array().cast("array<string>")),
+        )
+    )
+    checked = apply_robots(tasks, robots)
+    return checked.select("doc_id", "host", "robots_blocked")
+
+
+@_q(
+    "semi_join",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN
+          (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (the positive twin of the seen-set anti-join):
+    customers with at least one finished order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+
+
+@_q(
+    "window_running",
+    """
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS running_micros,
+           lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_event_id
+    FROM events
+    WHERE user_id < 50
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-sum + lag windows (per-host cumulative metrics shape; no
+    reference counterpart — SURVEY.md §2 'no window functions')."""
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    running = F.sum(cents(F.col("value"), 1000000.0)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        running.cast("long").alias("running_micros"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+@_q(
+    "cube_metrics",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+             AS total_c
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (metrics at every grain — SURVEY.md §2 'no
+    grouping sets' category)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum(cents(F.col("o_totalprice"))).alias("total_c"),
+    )
+
+
+@_q(
     "keyword_filter",
     """
     SELECT doc_id, lang
@@ -739,15 +847,16 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH tok AS (
       SELECT doc_id,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS w
       FROM documents
     ), scores AS (
       SELECT doc_id,
-        len(list_filter(w, t -> list_contains(['the','a','of','and','is'], t))) AS c_en,
-        len(list_filter(w, t -> list_contains(['der','die','das','und','ist'], t))) AS c_de,
-        len(list_filter(w, t -> list_contains(['el','la','de','y','es'], t))) AS c_es,
-        len(list_filter(w, t -> list_contains(['le','la','et','est','les'], t))) AS c_fr,
-        len(list_filter(w, t -> list_contains(['的','是','了','在','和'], t))) AS c_zh
+        len(list_intersect(w, ['the','a','of','and','is'])) AS c_en,
+        len(list_intersect(w, ['der','die','das','und','ist'])) AS c_de,
+        len(list_intersect(w, ['el','la','de','y','es'])) AS c_es,
+        len(list_intersect(w, ['le','la','et','est','les'])) AS c_fr,
+        len(list_intersect(w, ['的','是','了','在','和'])) AS c_zh
       FROM tok
     )
     SELECT doc_id,
