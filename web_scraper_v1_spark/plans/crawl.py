@@ -108,6 +108,7 @@ class CrawlEngine:
         salt_buckets: int = 16,
         use_bloom: bool = True,
         bloom_bits: int = 1 << 23,
+        recrawl_after: int | None = None,
     ):
         self.spark = spark
         self.store = SnapshotStore(run_dir)
@@ -116,6 +117,13 @@ class CrawlEngine:
         self.retry_limit = retry_limit
         self.host_budget = host_budget
         self.salt_buckets = salt_buckets
+        # TTL semantics (in_memory.go:51-61): a processed URL older than
+        # ``recrawl_after`` rounds expires from the live seen view, so it
+        # re-enters pending and is refetched — the engine's recrawl policy.
+        # The Bloom keeps expired keys (harmless: maybe-seen rows go
+        # through the exact join against the TTL-filtered live set, so
+        # exactness is preserved).
+        self.recrawl_after = recrawl_after
         self.processed_set = SeenSet(
             spark, n_bits=bloom_bits, use_bloom=use_bloom
         )
@@ -141,6 +149,14 @@ class CrawlEngine:
     def processed(self) -> DataFrame:
         return self.store.read(self.spark, "processed", PROCESSED_SCHEMA)
 
+    def _processed_live(self, r: int) -> DataFrame:
+        """The seen view effective for round ``r``: everything processed,
+        minus TTL-expired rows when a recrawl policy is set."""
+        df = self.processed()
+        if self.recrawl_after is not None:
+            df = df.filter(F.col("round") > r - self.recrawl_after)
+        return df.select("url_hash", "url")
+
     # -- run ---------------------------------------------------------------
     def run(
         self,
@@ -162,32 +178,33 @@ class CrawlEngine:
         )
 
         next_round, next_seq = self._load_state()
-        self.processed_set.load(
-            self.processed().select("url_hash", "url")
-        )
+        self.processed_set.load(self._processed_live(next_round))
 
         stats: list[RoundStats] = []
         r = next_round
         while r < max_rounds:
+            if r != next_round:
+                # refresh the exact seen side for THIS round from committed
+                # snapshots (keeps the logical plan flat across rounds, and
+                # applies TTL expiry even across empty rounds); the bloom is
+                # maintained incrementally inside _run_round
+                self.processed_set.set_exact(self._processed_live(r))
             pending = self.processed_set.filter_new(
                 prepared.filter(F.col("arrival_round") <= F.lit(r))
             )
             st = self._run_round(r, next_seq, pending, pages_prepared, robots)
             if st is None:
-                if r > max_arrival:
+                if r > max_arrival and self.recrawl_after is None:
                     break
-                # empty round before all seeds have arrived: commit nothing,
-                # advance (matches the simulator's empty-batch no-op)
+                # empty round before all seeds have arrived (or between a
+                # fetch and its TTL expiry under a recrawl policy): commit
+                # nothing, advance; with recrawl_after set, max_rounds is
+                # the crawl horizon (matches the simulator's empty-batch
+                # no-op)
                 r += 1
                 continue
             stats.append(st)
             next_seq = st.seq_end + 1
-            # refresh the exact side from committed snapshots (keeps the
-            # logical plan flat across rounds); bloom was updated
-            # incrementally inside _run_round
-            self.processed_set.set_exact(
-                self.processed().select("url_hash", "url")
-            )
             r += 1
         prepared.unpersist()
         return stats

@@ -97,6 +97,31 @@ class SnapshotStore:
         rs = self._manifest["rounds"]
         return max((r["round"] for r in rs), default=-1)
 
+    def compact(
+        self, spark: SparkSession, table: str, schema: T.StructType
+    ) -> str | None:
+        """Fold all committed snapshot dirs of a table into one — the
+        engine analog of the TTL cache's periodic cleanup goroutine
+        (/root/reference/internal/cache/in_memory.go:91-109) and of
+        Iceberg compaction/snapshot-expiry maintenance. Readers see either
+        the old snapshot list or the compacted dir (atomic manifest swap);
+        the superseded dirs are deleted afterwards."""
+        paths = self.committed_paths(table)
+        if len(paths) <= 1:
+            return None
+        df = spark.read.schema(schema).parquet(*paths)
+        dest = os.path.join(
+            self.run_dir, table, f"compacted={len(self._manifest['rounds']):08d}"
+        )
+        if os.path.exists(dest):
+            shutil.rmtree(dest)
+        df.write.mode("overwrite").parquet(dest)
+        self._manifest["tables"][table] = [dest]
+        self._commit_manifest()
+        for p in paths:
+            shutil.rmtree(p, ignore_errors=True)
+        return dest
+
     def clean_orphans(self) -> list[str]:
         """Remove snapshot dirs never committed (crash debris)."""
         committed = {
