@@ -57,6 +57,8 @@ HEADLINE = [
 def run_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     from web_scraper_v1_spark import queries as Q
 
+    from web_scraper_v1_spark.operators import dedup as DD
+
     qs = Q.queries()
     timings: dict[str, float] = {}
     for name in names:
@@ -65,6 +67,7 @@ def run_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
+        DD.release_cached()  # drop per-query persisted shingles/signatures
     return timings
 
 
@@ -82,9 +85,13 @@ def run_wave_bench(spark, n_pages: int = 200_000) -> dict:
         read_seeds,
     )
 
-    cdir = f"/tmp/bench_corpus_{n_pages}"
+    # every generation parameter is encoded in the cache path so a stale
+    # dir built with different parameters can never be silently reused
+    n_hosts, filler = 200, 8
+    cdir = f"/tmp/bench_corpus_{n_pages}_{n_pages}_{n_hosts}_{filler}"
     materialize_corpus(
-        cdir, n_pages=n_pages, n_seeds=n_pages, n_hosts=200, filler_lines=8
+        cdir, n_pages=n_pages, n_seeds=n_pages, n_hosts=n_hosts,
+        filler_lines=filler,
     )
     pages = read_pages(spark, cdir)
     seeds = read_seeds(spark, cdir)

@@ -59,6 +59,8 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
+    from web_scraper_v1_spark.operators import dedup as DD
+
     qs = E.queries()
     oracles = E.oracle_sql()
     n_pass = n_fail = 0
@@ -70,6 +72,7 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            DD.release_cached()
         except Exception as ex:
             print(f"FAIL {name}: spark error: {ex}")
             n_fail += 1

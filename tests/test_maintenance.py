@@ -27,16 +27,24 @@ def test_compaction_preserves_contents_and_resumability(spark, tmp_path):
     before = sorted(tuple(x) for x in store.read(spark, "seen", SCHEMA).collect())
     assert len(store.committed_paths("seen")) == 3
 
+    # a live (lazy) reader built BEFORE compaction must stay valid after it
+    live = store.read(spark, "seen", SCHEMA)
+
     dest = store.compact(spark, "seen", SCHEMA)
     assert dest is not None
     assert store.committed_paths("seen") == [dest]
     after = sorted(tuple(x) for x in store.read(spark, "seen", SCHEMA).collect())
     assert after == before
+    # deferred deletion: the superseded dirs still exist, so the pre-compact
+    # plan can still execute (mid-crawl compaction safety)
+    assert sorted(tuple(x) for x in live.collect()) == before
     # round/lineage metadata untouched -> resume state preserved
     assert [m["round"] for m in store.rounds()] == [0, 1, 2]
 
-    # a fresh reader (resume) sees the compacted table and no orphans
+    # a fresh reader (resume) cleans the now-unreferenced old dirs as orphans
     store2 = SnapshotStore(str(tmp_path / "run"))
+    removed = store2.clean_orphans()
+    assert len(removed) == 3 and all("round=" in p for p in removed)
     assert store2.clean_orphans() == []
     again = sorted(tuple(x) for x in store2.read(spark, "seen", SCHEMA).collect())
     assert again == before

@@ -47,11 +47,11 @@ def _extract_batch(html: pd.Series) -> pd.DataFrame:
     # slices; the corpus is valid UTF-8, so decode is lossless. Decode
     # errors are treated as parse errors (surrogateescape keeps it total).
     if html.dtype == object:
-        s = html.map(
-            lambda b: b.decode("utf-8", "surrogateescape")
-            if isinstance(b, (bytes, bytearray))
-            else b
-        )
+        # C-level bytes->str decode (Series.str.decode); non-bytes entries
+        # (already-str unit-test inputs, None) come out NaN and fall back
+        # to the original value.
+        dec = html.str.decode("utf-8", "surrogateescape")
+        s = dec.where(dec.notna(), html)
     else:
         s = html
     s = s.astype("object")

@@ -19,10 +19,12 @@ Five strategies, all expressed Spark-first:
                  the LSH-bucketed path in operators/similarity.py for 100 TB.
 
 Scale notes: every strategy's shuffle is keyed on tokens/buckets, not docs,
-so hot shingles are the skew risk — ``df_shingle_postings`` drops shingles
-whose posting list exceeds ``max_df`` (a stopword-shingle in every doc would
-otherwise create a quadratic bucket), standard practice and harmless for
-near-dup semantics when max_df >> any real duplicate-cluster size.
+so hot shingles are the skew risk — ``ngram_jaccard_pairs`` drops shingles
+whose posting list exceeds ``max_df`` from the CANDIDATE index (a
+stopword-shingle in every doc would otherwise create a quadratic bucket);
+reported Jaccard values are always computed from full shingle sets in the
+shared verification step, so the prune affects recall only in the
+every-shared-shingle-is-boilerplate corner, never reported values.
 """
 
 from __future__ import annotations
@@ -33,6 +35,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from web_scraper_v1_spark.functions import text as TX
+
+# DataFrames persisted by the near-dup strategies (shingle sets and
+# signatures are each read by 2-3 downstream joins). Spark has no scoped
+# cache, so repeated invocations in one session (bench loops, selfcheck)
+# would otherwise accumulate storage blocks — callers that loop queries
+# call ``release_cached()`` between iterations.
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_cached() -> None:
+    """Unpersist every DataFrame cached by the dedup strategies."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
 
 
 def exact_dedup(
@@ -125,14 +146,21 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """EXACT near-dup pairs via inverted shingle index: explode shingles,
-    self-join posting lists (shuffle keyed by shingle), count co-occurrences
-    -> |A∩B|, then Jaccard from set sizes. A pair with Jaccard >= t shares
-    at least one shingle, so the posting-list join finds every such pair
-    (complete for any t > 0 given max_df is not exceeded by a true pair's
-    shared shingle — see df-prune note in the module docstring)."""
-    shingled = doc_shingles(docs, id_col, text_col, n)
+    self-join posting lists (shuffle keyed by shingle) to generate
+    candidate pairs, then verify candidates with exact Jaccard over the
+    full shingle arrays (``_verified_pairs`` — the same verification every
+    other strategy uses, so all strategies agree with the unpruned oracle).
+
+    The ``max_df`` prune applies to CANDIDATE GENERATION only: a shingle in
+    more than max_df docs would create a quadratic posting bucket, so it is
+    dropped from the index. Verification still uses full shingle sets, so
+    pruning never changes a reported Jaccard value; a true pair is missed
+    only if EVERY shared shingle is hot (>max_df docs) — at threshold 0.8
+    the pair shares >=80% of its shingles, so that requires essentially the
+    whole document to be corpus-wide boilerplate."""
+    shingled = _persist(doc_shingles(docs, id_col, text_col, n))
     postings = shingled.select(
-        "id", "n_shingles", F.explode("shingles").alias("shingle")
+        "id", F.explode("shingles").alias("shingle")
     )
     if max_df:
         df_counts = postings.groupBy("shingle").agg(
@@ -144,33 +172,18 @@ def ngram_jaccard_pairs(
             ).drop("_df")
         )
     a = postings.select(
-        F.col("shingle"),
-        F.col("id").alias("id_a"),
-        F.col("n_shingles").alias("n_a"),
+        F.col("shingle"), F.col("id").alias("id_a")
     )
     b = postings.select(
-        F.col("shingle"),
-        F.col("id").alias("id_b"),
-        F.col("n_shingles").alias("n_b"),
+        F.col("shingle"), F.col("id").alias("id_b")
     )
-    pairs = (
+    candidates = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("inter"))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast(
-                    "double"
-                ),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
+        .distinct()
     )
-    return pairs.select("id_a", "id_b", "jaccard")
+    return _verified_pairs(candidates, shingled, threshold)
 
 
 _SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
@@ -242,8 +255,8 @@ def minhash_lsh_pairs(
     sizes are the skew concern at 100 TB; identical docs form the only big
     buckets and exact-dedup runs first in the full pipeline."""
     rows_per_band = num_hashes // bands
-    shingled = doc_shingles(docs, id_col, text_col, n).persist()
-    sigs = minhash_signatures(shingled, num_hashes).persist()
+    shingled = _persist(doc_shingles(docs, id_col, text_col, n))
+    sigs = _persist(minhash_signatures(shingled, num_hashes))
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -307,8 +320,8 @@ def simhash_pairs(
     (Jaccard >= 0.8) share the vast majority of shingle hashes, putting
     their sketches well inside that radius; the exact-Jaccard verification
     then makes precision 1.0."""
-    shingled = doc_shingles(docs, id_col, text_col, n).persist()
-    sk = simhash_sketches(shingled).persist()
+    shingled = _persist(doc_shingles(docs, id_col, text_col, n))
+    sk = _persist(simhash_sketches(shingled))
     # 16 bands of 4 bits; shiftrightunsigned-by-column only exists at the
     # SQL layer (the Python builtin requires a literal shift)
     band_structs = F.expr(

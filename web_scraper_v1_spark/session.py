@@ -45,8 +45,12 @@ def ship_package(spark: SparkSession) -> None:
         return
     try:
         sc.addPyFile(_package_zip())
-    except Exception:
-        pass  # already added with identical contents
+    except Exception as ex:  # re-adding the same archive is benign; anything
+        # else must be visible — a silent failure here surfaces later as
+        # ModuleNotFoundError inside Python workers
+        import sys
+
+        print(f"ship_package: addPyFile failed: {ex!r}", file=sys.stderr)
     sc._wsv1_shipped = True
 
 

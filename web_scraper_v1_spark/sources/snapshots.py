@@ -98,14 +98,25 @@ class SnapshotStore:
         return max((r["round"] for r in rs), default=-1)
 
     def compact(
-        self, spark: SparkSession, table: str, schema: T.StructType
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: T.StructType,
+        delete_now: bool = False,
     ) -> str | None:
         """Fold all committed snapshot dirs of a table into one — the
         engine analog of the TTL cache's periodic cleanup goroutine
         (/root/reference/internal/cache/in_memory.go:91-109) and of
         Iceberg compaction/snapshot-expiry maintenance. Readers see either
-        the old snapshot list or the compacted dir (atomic manifest swap);
-        the superseded dirs are deleted afterwards."""
+        the old snapshot list or the compacted dir (atomic manifest swap).
+
+        Superseded dirs are deleted LAZILY by default: after the manifest
+        swap they are unreferenced, so the next engine start's
+        ``clean_orphans()`` removes them — this keeps any live (lazy)
+        DataFrame built from the old paths in the current session valid,
+        so compaction is safe mid-crawl. Pass ``delete_now=True`` only
+        when no reader from this session can still reference the old
+        paths (e.g. a standalone maintenance job)."""
         paths = self.committed_paths(table)
         if len(paths) <= 1:
             return None
@@ -118,8 +129,9 @@ class SnapshotStore:
         df.write.mode("overwrite").parquet(dest)
         self._manifest["tables"][table] = [dest]
         self._commit_manifest()
-        for p in paths:
-            shutil.rmtree(p, ignore_errors=True)
+        if delete_now:
+            for p in paths:
+                shutil.rmtree(p, ignore_errors=True)
         return dest
 
     def clean_orphans(self) -> list[str]:
