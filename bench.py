@@ -24,9 +24,13 @@ HEADLINE = [
     # crawl pipeline slice + frontier ops
     "crawl_slice",
     "per_host_wave",
+    "priority_wave",
+    "crawl_delay_wave",
     "seen_anti_join_urls",
     "url_canonicalize",
     "robots_filter",
+    "link_extract",
+    "host_rate_window",
     # relational core
     "groupby_agg",
     "window_topk",

@@ -113,7 +113,9 @@ def main() -> None:
         return
 
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 400_000
-    corpus_dir = f"/tmp/scaling_corpus_{n_pages}_{FILLER_LINES}"
+    # v2: corpus bodies carry Link: outlink lines; prepared frontier carries
+    # priority/depth (stale v1 dirs must not be reused)
+    corpus_dir = f"/tmp/scaling_corpus_v2_{n_pages}_{FILLER_LINES}"
     if not os.path.exists(os.path.join(corpus_dir, "pages.parquet")):
         from web_scraper_v1_spark.sources.corpus import materialize_corpus
 

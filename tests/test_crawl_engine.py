@@ -98,6 +98,106 @@ def test_trace_parity_with_politeness_and_robots(
     assert engine_seen == sim.seen_urls
 
 
+def test_trace_parity_with_crawl_delay_budgets(
+    spark, tmp_path, corpus_frames, py_fixtures
+):
+    """North-rule crawl-delay token buckets: per-host per-round budget =
+    max(1, floor(round_duration_s / robots.crawl_delay_s)) — heterogeneous
+    across hosts (fixture delays are 1..5 s), over-budget tasks defer."""
+    seeds_df, pages_df, robots_df = corpus_frames
+    seeds, pages, robots = py_fixtures
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "run_delay"),
+        batch_size=20,
+        retry_limit=3,
+        salt_buckets=4,
+        round_duration_s=4.0,
+    )
+    eng.run(seeds_df, pages_df, robots=robots_df)
+    sim = fx.simulate_crawl(
+        seeds, pages, batch_size=20, retry_limit=3, robots=robots,
+        round_duration_s=4.0,
+    )
+    # the fixture delays must actually produce heterogeneous budgets
+    budgets = {max(1, int(4.0 // r["crawl_delay_s"])) for r in robots}
+    assert len(budgets) > 1
+    _assert_trace_equal(_trace_df_to_rows(eng.trace()), sim.trace)
+    engine_seen = {r.url for r in eng.seen().collect()}
+    assert engine_seen == sim.seen_urls
+
+
+def test_trace_parity_mixed_priorities(
+    spark, tmp_path, corpus_frames, py_fixtures
+):
+    """Priority-aware ordering: seeds with priority 1 (every 17th fixture
+    seed) run after priority-0 seeds within the same round, both in wave
+    selection and in the trace sequence."""
+    seeds_df, pages_df, _ = corpus_frames
+    seeds, pages, _ = py_fixtures
+    assert {s["priority"] for s in seeds} == {0, 1}
+    eng = CrawlEngine(
+        spark, str(tmp_path / "run_prio"), batch_size=30, host_budget=3,
+        salt_buckets=4,
+    )
+    eng.run(seeds_df, pages_df)
+    sim = fx.simulate_crawl(
+        seeds, pages, batch_size=30, host_budget=3
+    )
+    _assert_trace_equal(_trace_df_to_rows(eng.trace()), sim.trace)
+
+
+def test_trace_parity_link_discovery(
+    spark, tmp_path, corpus_frames, py_fixtures
+):
+    """Frontier growth (SURVEY.md §2 O2): fetched pages' Link: lines are
+    extracted at parse time, canonicalized, deduped against everything ever
+    enqueued, and enqueued for the next round at depth+1 — the trace must
+    equal the simulator's and must actually contain discovered URLs."""
+    seeds_df, pages_df, _ = corpus_frames
+    seeds, pages, _ = py_fixtures
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "run_links"),
+        batch_size=30,
+        salt_buckets=4,
+        discover_links=True,
+        max_depth=2,
+    )
+    stats = eng.run(seeds_df, pages_df)
+    sim = fx.simulate_crawl(
+        seeds, pages, batch_size=30, discover_links=True, max_depth=2
+    )
+    _assert_trace_equal(_trace_df_to_rows(eng.trace()), sim.trace)
+    # discovery actually grew the frontier
+    seed_cus = {fx.canonicalize_url(s["url"]) for s in seeds}
+    traced = {t["url"] for t in sim.trace}
+    assert traced - seed_cus, "no URLs were discovered — fixture too sparse"
+    assert sum(st.discovered for st in stats) > 0
+    assert {r.url for r in eng.seen().collect()} == sim.seen_urls
+    # depth is live: committed frontier rows carry depth >= 1
+    depths = {r.depth for r in eng.frontier().collect()}
+    assert depths and depths <= {1, 2} and 1 in depths
+
+
+def test_resume_with_link_discovery(spark, tmp_path, corpus_frames, py_fixtures):
+    """queue_seq assignment for discoveries survives resume (committed
+    frontier snapshots + next_queue_seq lineage)."""
+    seeds_df, pages_df, _ = corpus_frames
+    kwargs = dict(batch_size=30, salt_buckets=4, discover_links=True, max_depth=2)
+    full = CrawlEngine(spark, str(tmp_path / "dfull"), **kwargs)
+    full.run(seeds_df, pages_df)
+
+    partial = CrawlEngine(spark, str(tmp_path / "dpart"), **kwargs)
+    partial.run(seeds_df, pages_df, max_rounds=2)
+    resumed = CrawlEngine(spark, str(tmp_path / "dpart"), **kwargs)
+    resumed.run(seeds_df, pages_df)
+
+    _assert_trace_equal(
+        _trace_df_to_rows(resumed.trace()), _trace_df_to_rows(full.trace())
+    )
+
+
 def test_resume_from_checkpoint_identical_final_state(
     spark, tmp_path, corpus_frames, py_fixtures
 ):
@@ -181,6 +281,32 @@ def test_bloom_prefilter_exactness(spark):
     want = sorted(r.url for r in exact.filter_new(cand).collect())
     assert got == want
     assert len(got) == 4000  # ids 5000..8999
+
+
+def test_sharded_bloom_bounded_broadcasts_at_frontier_scale():
+    """North-rule scale check (pure math + numpy, no Spark): at a 10^10-URL
+    frontier no single broadcast / driver-merge unit may exceed the shard
+    bound, and sharding must not change membership semantics."""
+    import numpy as np
+
+    from web_scraper_v1_spark.operators.seen import ShardedBloom
+
+    n_shards, bits_per_shard = ShardedBloom.plan(
+        n_keys=10_000_000_000, fpp=0.01, max_shard_bytes=128 << 20
+    )
+    assert bits_per_shard // 8 <= 128 << 20  # each broadcast <= 128 MiB
+    total_bits = n_shards * bits_per_shard
+    assert total_bits >= 9.5 * 10_000_000_000  # >= ~9.6 bits/key for 1% fpp
+    assert n_shards >= 64
+
+    # semantics: sharded == per-shard independent blooms, zero false negs
+    sb = ShardedBloom(n_shards=8, bits_per_shard=1 << 12)
+    keys = np.arange(0, 4000, dtype=np.int64) * 2_654_435_761
+    sb.add(keys)
+    assert sb.contains(keys).all()
+    fresh = np.arange(4000, 8000, dtype=np.int64) * 2_654_435_761
+    fp = sb.contains(fresh).mean()
+    assert fp < 0.25  # 4k keys over 8 x 4096 bits: fpp small but nonzero
 
 
 def test_bloom_prefilter_actually_skips_join_work(spark):

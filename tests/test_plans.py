@@ -70,6 +70,46 @@ def test_anti_join_is_join_not_filter(spark):
     assert "LeftAnti" in plan
 
 
+def test_embedding_neardup_has_no_cartesian_product(spark):
+    """The registered near-dup query must be the bucketed sign-LSH plan —
+    no cross join anywhere (the all-pairs baseline is test-only)."""
+    df = Q.queries()["embedding_neardup"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_prefix_sum_has_no_single_partition_stage(spark):
+    """Trace sequencing must never execute a single-partition global sort:
+    the prefix sum is range-partitioned + per-partition windows + a driver
+    prefix of per-partition totals (operators/ordering.py)."""
+    from web_scraper_v1_spark.operators import ordering
+    from web_scraper_v1_spark.operators.ordering import global_prefix_sum
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id as queue_seq", "cast(id % 3 as int) as priority",
+        "cast(1 + id % 4 as int) as n_attempts",
+    )
+    out = global_prefix_sum(
+        df, ("priority", "queue_seq"), F.col("n_attempts"), "_start",
+        num_partitions=8,
+    )
+    plan = plan_of(out)
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # the per-partition windows are still windows
+
+    # value parity vs the naive global-window cumsum
+    rows = {
+        (r.priority, r.queue_seq): r._start for r in out.collect()
+    }
+    ordered = sorted(rows, key=lambda t: t)
+    acc = 0
+    for prio, seq in ordered:
+        assert rows[(prio, seq)] == acc, (prio, seq)
+        acc += 1 + seq % 4
+    ordering.release_cached()
+
+
 def test_whole_stage_codegen_relational(spark):
     """The relational core runs inside whole-stage codegen spans (the
     formatted mode hides codegen ids under AdaptiveSparkPlan, so ask for

@@ -67,14 +67,20 @@ def test_windowed_host_metrics(spark, queue_dir, tmp_path):
     stream = decode_results(read_results_stream(spark, queue_dir))
     metrics = host_rate_metrics(stream, "1 minute", "2 minutes")
     rows = run_to_sink(metrics, str(tmp_path / "ck2"), "metrics_sink")
+    # update-mode contract: a window may be emitted once per micro-batch
+    # that updates it (counts are monotone) — keep the LAST update per
+    # (window_start, host), never sum raw emissions
+    final: dict[tuple, int] = {}
+    for r in rows:
+        k = (r.window_start, r.host)
+        final[k] = max(final.get(k, 0), r.n_urls)
     # 30 msgs at 20s spacing = 600s span -> 10 one-minute windows x 3 hosts
-    total = sum(r.n_urls for r in rows)
-    assert total == 30
-    assert {r.host for r in rows} == {
+    assert sum(final.values()) == 30
+    assert {h for _, h in final} == {
         "host0.example.com", "host1.example.com", "host2.example.com",
     }
-    for r in rows:
-        assert r.n_urls <= 3  # 3 msgs/min spread over 3 hosts
+    for v in final.values():
+        assert v <= 3  # 3 msgs/min spread over 3 hosts
 
 
 def test_stateful_cumulative_counts(spark, queue_dir, tmp_path):

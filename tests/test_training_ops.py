@@ -88,6 +88,22 @@ def test_embedding_neardup_symmetric_threshold(spark):
         assert r.cosine >= 0.4
 
 
+def test_lsh_neardup_equals_allpairs_baseline(spark):
+    """The registered embedding_neardup runs the sign-LSH bucketed path;
+    the all-pairs crossJoin survives ONLY as this test's baseline. With
+    the deterministic planes, screen recall must be exactly 1.0 here."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in DD.embedding_neardup_pairs(embs, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in SIM.lsh_neardup_pairs(embs, dim=64, threshold=0.4).collect()
+    }
+    assert lsh == exact and exact  # identical pairs AND values, non-empty
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark):
     embs = spark.read.parquet(f"{SF}/embeddings.parquet")
     qids = embs.select("vec_id").filter(F.col("vec_id") < 10)

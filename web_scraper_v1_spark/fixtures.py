@@ -203,15 +203,37 @@ def is_malformed(url: str) -> bool:
     return dhash(url, "malformed") % 20 == 0
 
 
-def build_page(i: int, n_hosts: int, filler_lines: int = 0) -> dict:
+LINK_PREFIX = "Link: "
+
+
+def outlinks_of(url: str, n_pages: int, n_hosts: int) -> list[str]:
+    """Deterministic outlink targets of a page: 0-2 links, hash-derived.
+    Malformed pages yield none (their single-line body is never parsed, so
+    the engine could not extract links from them anyway)."""
+    if is_malformed(url):
+        return []
+    n = dhash(url, "nlinks") % 3
+    return [
+        page_url(dhash(url, f"link-{j}") % n_pages, n_hosts)
+        for j in range(n)
+    ]
+
+
+def build_page(i: int, n_hosts: int, filler_lines: int = 0, n_pages: int | None = None) -> dict:
     """``filler_lines`` appends hash-derived non-prefix lines to the body —
     realistic page bulk (real HTML dwarfs the extracted fields). The parser
     ignores lines without a known prefix (receiver_response_parser.go:26-34
     loop semantics), so golden text parity is unaffected; fixtures used by
-    the parity tests keep the default 0."""
+    the parity tests keep the default 0.
+
+    Outlinks (``n_pages`` set): 0-2 deterministic ``Link: <url>`` lines
+    embedded in the body AND surfaced in the returned dict's ``outlinks``
+    key (the simulator reads the key; the engine must extract the lines
+    from the html — SURVEY.md §2 O2 frontier growth)."""
     url = page_url(i, n_hosts)
     host = host_of(url)
     warc_ts = EPOCH + timedelta(seconds=i)
+    links: list[str] = []
     if is_malformed(url):
         body = f"malformed body for {url}"
         text = None
@@ -225,6 +247,9 @@ def build_page(i: int, n_hosts: int, filler_lines: int = 0) -> dict:
                 f"\nx{(h + j) & 0xFFFFFFFF:08x} filler content line {j}"
                 for j in range(filler_lines)
             )
+        if n_pages is not None:
+            links = outlinks_of(url, n_pages, n_hosts)
+            body += "".join(f"\n{LINK_PREFIX}{t}" for t in links)
         parsed = parse_receiver_response(body)
         assert parsed is not None
         text = "\n".join(parsed)
@@ -234,13 +259,17 @@ def build_page(i: int, n_hosts: int, filler_lines: int = 0) -> dict:
         "html": body.encode("utf-8"),
         "text": text,
         "lang": "en",
+        "outlinks": links,
     }
 
 
 def generate_pages(
     n_pages: int, n_hosts: int = 10, filler_lines: int = 0
 ) -> list[dict]:
-    return [build_page(i, n_hosts, filler_lines) for i in range(n_pages)]
+    return [
+        build_page(i, n_hosts, filler_lines, n_pages=n_pages)
+        for i in range(n_pages)
+    ]
 
 
 def generate_seeds(
@@ -339,38 +368,78 @@ def simulate_crawl(
     robots: list[dict] | None = None,
     dedup: bool = True,
     max_rounds: int = 10_000,
+    round_duration_s: float | None = None,
+    discover_links: bool = False,
+    max_depth: int | None = None,
 ) -> CrawlSim:
     """Golden-trace simulator. ``pages`` rows need ``url`` and ``text``
     (text None => malformed => parse error => retried then dropped, because
     JobProcessor.Process surfaces parser errors to the retry loop,
-    job_processor.go:78-94 + worker.go:81-95)."""
+    job_processor.go:78-94 + worker.go:81-95).
+
+    Within a round, tasks run in (priority, enqueue-order) order — lower
+    ``priority`` value first (SURVEY.md §1.3 frontier ordering); seeds
+    without a priority get 0.
+
+    Per-host politeness budget per round = min(``host_budget``, the
+    crawl-delay token budget ``max(1, floor(round_duration_s /
+    crawl_delay_s))`` when ``round_duration_s`` is set and the host's
+    robots row carries a delay) — the north rule's "crawl-delay token
+    buckets". Over-budget tasks defer to the next round.
+
+    ``discover_links``: frontier growth (SURVEY.md §2 O2) — every FETCHED
+    page's outlinks (the page dict's ``outlinks``, in order) are enqueued
+    for round r+1 at priority 0 with depth = parent depth + 1, skipping
+    already-enqueued canonical URLs; ``max_depth`` drops deeper links.
+    Enqueue order follows the round's execution (trace) order.
+    """
     page_ok: dict[str, bool] = {
         canonicalize_url(p["url"]): p["text"] is not None for p in pages
+    }
+    page_links: dict[str, list[str]] = {
+        canonicalize_url(p["url"]): p.get("outlinks") or [] for p in pages
     }
     robots_map = (
         {r["host"]: r["disallow_prefixes"] for r in robots} if robots else None
     )
+    delay_map: dict[str, float] = {
+        r["host"]: r["crawl_delay_s"]
+        for r in (robots or [])
+        if r.get("crawl_delay_s") is not None
+    }
+
+    def effective_budget(host: str) -> int | None:
+        parts = []
+        if host_budget is not None:
+            parts.append(host_budget)
+        if round_duration_s is not None and host in delay_map:
+            parts.append(max(1, int(round_duration_s // delay_map[host])))
+        return min(parts) if parts else None
 
     sim = CrawlSim()
     enqueued: set[str] = set()
-    queue_per_round: dict[int, list[tuple[int, str]]] = defaultdict(list)
+    depth_of: dict[str, int] = {}
+    queue_per_round: dict[int, list[tuple[int, int, str]]] = defaultdict(list)
     for idx, s in enumerate(seeds):
         cu = canonicalize_url(s["url"])
         if dedup and cu in enqueued:
             sim.dup_skipped += 1
             continue
         enqueued.add(cu)
-        queue_per_round[idx // batch_size].append((idx, cu))
+        depth_of[cu] = int(s.get("depth") or 0)
+        prio = int(s.get("priority") or 0)
+        queue_per_round[idx // batch_size].append((prio, idx, cu))
 
+    next_idx = len(seeds)
     max_arrival = max(queue_per_round) if queue_per_round else -1
-    deferred: list[tuple[int, str]] = []
+    deferred: list[tuple[int, int, str]] = []
     seq = 0
     r = 0
     while (r <= max_arrival or deferred) and r < max_rounds:
         tasks = sorted(deferred + queue_per_round.get(r, []))
         deferred = []
         host_count: dict[str, int] = defaultdict(int)
-        for idx, cu in tasks:
+        for prio, idx, cu in tasks:
             host = host_of(cu)
             if robots_disallowed(cu, robots_map):
                 sim.trace.append(
@@ -379,8 +448,9 @@ def simulate_crawl(
                 )
                 seq += 1
                 continue
-            if host_budget is not None and host_count[host] >= host_budget:
-                deferred.append((idx, cu))
+            budget = effective_budget(host)
+            if budget is not None and host_count[host] >= budget:
+                deferred.append((prio, idx, cu))
                 continue
             host_count[host] += 1
             ok = page_ok.get(cu)
@@ -391,6 +461,19 @@ def simulate_crawl(
                 )
                 seq += 1
                 sim.seen_urls.add(cu)
+                if discover_links:
+                    for target in page_links.get(cu, []):
+                        tcu = canonicalize_url(target)
+                        if tcu in enqueued:
+                            continue
+                        d = depth_of[cu] + 1
+                        if max_depth is not None and d > max_depth:
+                            continue
+                        enqueued.add(tcu)
+                        depth_of[tcu] = d
+                        queue_per_round[r + 1].append((0, next_idx, tcu))
+                        next_idx += 1
+                        max_arrival = max(max_arrival, r + 1)
             else:
                 # fetch miss (url absent) or parse error: retried then dropped
                 for attempt in range(1, retry_limit + 1):

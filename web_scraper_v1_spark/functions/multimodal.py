@@ -125,9 +125,12 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic media fixture: each document's UTF-8 bytes become an
     opaque payload with hash-derived kind + metadata — exercising the
     binary-column path without external data (per FIXTURES.md policy)."""
+    # kind keyed by doc_id % 3 (not a hash) so the media fixture — and
+    # therefore the whole mapInPandas feature pipeline — is expressible in
+    # the DuckDB oracle
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-        (F.pmod(F.xxhash64("doc_id"), F.lit(3)) + 1).cast("int"),
+        ((F.col("doc_id") % 3) + 1).cast("int"),
     )
     return docs.select(
         F.col("doc_id").alias("media_id"),

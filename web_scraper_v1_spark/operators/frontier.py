@@ -34,12 +34,22 @@ def prepare_seeds(seeds: DataFrame, batch_size: int) -> DataFrame:
     1-based) — the deterministic global enqueue order. Dedup keeps the
     earliest occurrence per canonical URL (window by url, min queue_seq),
     matching the simulator's enqueue-time dedup.
+
+    ``priority`` (SURVEY.md §1.3 frontier schema) is carried through
+    (null/missing -> 0); lower values run first within a round.
+    ``depth`` is carried through (missing -> 0) for link-discovery growth.
     """
+    if "priority" not in seeds.columns:
+        seeds = seeds.withColumn("priority", F.lit(0))
+    if "depth" not in seeds.columns:
+        seeds = seeds.withColumn("depth", F.lit(0))
     prepared = (
         seeds.withColumn(
             "queue_seq",
             F.element_at(F.split("task_id", "-"), -1).cast("long") - 1,
         )
+        .withColumn("priority", F.coalesce(F.col("priority"), F.lit(0)).cast("int"))
+        .withColumn("depth", F.coalesce(F.col("depth"), F.lit(0)).cast("int"))
         .withColumn("canonical_url", U.canonicalize(F.col("url")))
         .withColumn("url_hash", U.url_hash(F.col("canonical_url")))
         .withColumn("host", U.host(F.col("url")))
@@ -57,14 +67,24 @@ def prepare_seeds(seeds: DataFrame, batch_size: int) -> DataFrame:
 
 
 def apply_robots(tasks: DataFrame, robots: DataFrame | None) -> DataFrame:
-    """Adds ``robots_blocked`` boolean. Robots tables are tiny relative to
-    the frontier (one row per host) — broadcast join, no shuffle on the
-    frontier side. Prefix semantics: blocked iff any disallow prefix
-    prefixes the URL path."""
+    """Adds ``robots_blocked`` boolean and ``crawl_delay_s`` (null when the
+    host has no robots row or the table carries no delay). Robots tables
+    are tiny relative to the frontier (one row per host) — broadcast join,
+    no shuffle on the frontier side. Prefix semantics: blocked iff any
+    disallow prefix prefixes the URL path."""
     if robots is None:
-        return tasks.withColumn("robots_blocked", F.lit(False))
+        return tasks.withColumn("robots_blocked", F.lit(False)).withColumn(
+            "crawl_delay_s", F.lit(None).cast("double")
+        )
+    delay = (
+        F.col("crawl_delay_s").cast("double")
+        if "crawl_delay_s" in robots.columns
+        else F.lit(None).cast("double")
+    )
     r = robots.select(
-        "host", F.col("disallow_prefixes").alias("_disallow")
+        "host",
+        F.col("disallow_prefixes").alias("_disallow"),
+        delay.alias("_delay"),
     )
     joined = tasks.join(F.broadcast(r), "host", "left")
     blocked = F.when(
@@ -72,7 +92,11 @@ def apply_robots(tasks: DataFrame, robots: DataFrame | None) -> DataFrame:
     ).otherwise(
         F.exists("_disallow", lambda p: F.col("path").startswith(p))
     )
-    return joined.withColumn("robots_blocked", blocked).drop("_disallow")
+    return (
+        joined.withColumn("robots_blocked", blocked)
+        .withColumn("crawl_delay_s", F.col("_delay"))
+        .drop("_disallow", "_delay")
+    )
 
 
 def per_host_topk(
@@ -80,24 +104,38 @@ def per_host_topk(
     k: int | None,
     order_cols: tuple[str, ...] = ("queue_seq",),
     salt_buckets: int = 16,
+    budget_col: str | None = None,
 ) -> DataFrame:
     """Politeness wave selection: adds ``selected`` boolean — True for the
-    first k tasks per host in deterministic order (k=None selects all).
+    first *budget* tasks per host in deterministic order.
+
+    The per-host budget is ``least(k, tasks[budget_col])``: ``k`` is a
+    global cap (None = uncapped), ``budget_col`` a per-row column holding
+    the host's crawl-delay-derived token budget (must be constant within a
+    host; null = unlimited). With both None every task is selected.
 
     Two-phase salted ranking defeats host skew: the exact per-host window
-    (phase 2) sees at most k*salt_buckets rows per host instead of the
-    host's whole pending set.
+    (phase 2) sees at most budget*salt_buckets rows per host instead of
+    the host's whole pending set. (Correct for any per-host-constant
+    budget b: the true per-host top-b is contained in the union of the
+    per-(host, salt) top-b sets, so phase 1 never drops a selectable row.)
     """
-    if k is None:
+    if k is None and budget_col is None:
         return tasks.withColumn("selected", F.lit(True))
+    parts = [F.lit(k)] if k is not None else []
+    if budget_col is not None:
+        parts.append(F.col(budget_col))
+    # F.least skips nulls, so an unlimited (null) budget_col falls back to k
+    bud = parts[0] if len(parts) == 1 else F.least(*parts)
     order = [F.col(c) for c in order_cols]
     if salt_buckets > 1:
         w1 = Window.partitionBy(
             "host", F.pmod(F.col("url_hash"), F.lit(salt_buckets))
         ).orderBy(*order)
         pre = tasks.withColumn("_rn1", F.row_number().over(w1))
-        survivors = pre.filter(F.col("_rn1") <= k).drop("_rn1")
-        overflow = pre.filter(F.col("_rn1") > k).drop("_rn1").withColumn(
+        keep = bud.isNull() | (F.col("_rn1") <= bud)
+        survivors = pre.filter(keep).drop("_rn1")
+        overflow = pre.filter(~keep).drop("_rn1").withColumn(
             "selected", F.lit(False)
         )
     else:
@@ -105,7 +143,9 @@ def per_host_topk(
         overflow = None
     w2 = Window.partitionBy("host").orderBy(*order)
     ranked = survivors.withColumn("_rn2", F.row_number().over(w2))
-    out = ranked.withColumn("selected", F.col("_rn2") <= k).drop("_rn2")
+    out = ranked.withColumn(
+        "selected", bud.isNull() | (F.col("_rn2") <= bud)
+    ).drop("_rn2")
     if overflow is not None:
         out = out.unionByName(overflow)
     return out

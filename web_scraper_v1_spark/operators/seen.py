@@ -1,30 +1,41 @@
-"""URL-seen set: partitioned Bloom prefilter + exact anti-join.
+"""URL-seen set: partitioned (sharded) Bloom prefilter + exact anti-join.
 
 The reference's only seen-set-shaped structure is the in-memory TTL cache
 (/root/reference/internal/cache/in_memory.go:9-109), which is not wired into
 the crawl loop — the live loop refetches duplicates
 (cmd/transmitter/main.go:179-187 enqueues the same URL 11x). The north rule
 makes dedup a first-class engine feature: canonicalized URL -> xxhash64,
-an exact membership table, and an approximate Bloom prefilter whose
-per-partition bitmaps are merged via ``treeAggregate``.
+an exact membership table, and an approximate *partitioned* Bloom prefilter
+whose per-partition bitmaps are merged via ``treeAggregate``.
 
 Design for 10^10 URLs:
 * the exact set is an append-only snapshot table keyed (url_hash, url) —
   membership is a ``left_anti`` join (hash-partitioned shuffle, AQE-skew
   aware); joining on both columns makes 64-bit collisions harmless.
-* the Bloom bitmap is built distributed (one numpy bitmap per partition,
-  OR-merged tree-wise — at 1000 executors the tree depth keeps driver
-  traffic logarithmic) and broadcast back; candidates that are
-  *definitely new* (bloom miss) bypass the anti-join shuffle entirely.
-  With a mostly-new frontier that removes the dominant shuffle; with a
-  mostly-duplicate frontier the exact join only sees the maybe-seen slice.
+* the Bloom is SHARDED: shard = url_hash mod S, each shard an independent
+  bitmap. At 10^10 keys and 1% fpp the total bitmap is ~12 GiB — far too
+  big for one driver-held broadcast — but with S sized so each shard is
+  <=128 MiB (``ShardedBloom.plan``), shards ship as separate broadcast
+  variables: Spark's torrent broadcast is fetched lazily on first
+  ``.value`` access, so an executor only pulls the shards its candidate
+  rows actually hash into (candidates repartitioned by shard touch ~1
+  shard per task). The driver never holds more than the shards it is
+  currently merging.
+* the build is distributed: one (S x words) bitmap block per partition,
+  OR-merged tree-wise (``treeAggregate`` — north rule), depth-limited so
+  driver traffic stays logarithmic in partition count.
 * no false negatives by construction, so exactness is preserved (bloom is
-  a prefilter only — SURVEY.md §7 hard part (c)).
+  a prefilter only — SURVEY.md §7 hard part (c)); candidates that are
+  definitely-new (bloom miss) bypass the anti-join shuffle entirely.
 * TTL semantics (in_memory.go:51-61) map to ``seen_round >= r - ttl``
-  filters on the exact table; recrawl policies plug in there.
+  filters on the exact table; recrawl policies plug in there. The bloom
+  keeps expired keys (harmless: maybe-seen rows still go through the
+  exact join against the TTL-filtered live set).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 import pandas as pd
@@ -47,7 +58,8 @@ def _mix(h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 class BloomFilter:
-    """Fixed-size Bloom over int64 keys; numpy bitmap, vectorized ops only."""
+    """Fixed-size Bloom over int64 keys; numpy bitmap, vectorized ops only.
+    The single-shard primitive ShardedBloom is built from."""
 
     def __init__(self, n_bits: int = 1 << 23, n_hashes: int = 5):
         assert n_bits & (n_bits - 1) == 0, "n_bits must be a power of two"
@@ -83,55 +95,174 @@ class BloomFilter:
         return self
 
 
-def build_bloom_distributed(
-    df: DataFrame, key_col: str, n_bits: int = 1 << 23, n_hashes: int = 5
-) -> BloomFilter:
-    """Per-partition bitmaps OR-merged via ``treeAggregate`` (north rule).
-    Each partition's work is one vectorized numpy pass over its keys."""
-    n_parts = max(1, df.rdd.getNumPartitions())
-    depth = 2 if n_parts <= 64 else 3
+def _shard_of(keys: np.ndarray, n_shards: int) -> np.ndarray:
+    """shard = key mod S on the unsigned 64-bit view (matches Spark's
+    ``pmod(url_hash, S)`` for the repartition-by-shard path)."""
+    return (np.asarray(keys).astype(np.uint64) % np.uint64(n_shards)).astype(
+        np.int64
+    )
 
-    def seq_op(bits: np.ndarray, rows) -> np.ndarray:
-        bf = BloomFilter(n_bits, n_hashes)
-        bf.bits = bits
+
+class ShardedBloom:
+    """S independent Bloom bitmaps keyed by ``url_hash mod S``.
+
+    ``bits2d`` has shape (S, bits_per_shard/64); row s is shard s's bitmap.
+    Membership and insertion are vectorized across a whole key batch
+    (scatter into the flattened bitmap with globally-offset word indices —
+    one numpy pass regardless of S).
+    """
+
+    def __init__(
+        self,
+        n_shards: int = 16,
+        bits_per_shard: int = 1 << 19,
+        n_hashes: int = 5,
+    ):
+        assert bits_per_shard & (bits_per_shard - 1) == 0
+        self.n_shards = n_shards
+        self.bits_per_shard = bits_per_shard
+        self.n_hashes = n_hashes
+        self.words_per_shard = bits_per_shard // 64
+        self.bits2d = np.zeros(
+            (n_shards, self.words_per_shard), dtype=np.uint64
+        )
+
+    @classmethod
+    def plan(
+        cls,
+        n_keys: int,
+        fpp: float = 0.01,
+        max_shard_bytes: int = 128 << 20,
+        n_hashes: int = 5,
+    ) -> tuple[int, int]:
+        """Size (n_shards, bits_per_shard) for ``n_keys`` at ``fpp`` with
+        every shard bitmap (= broadcast unit = driver merge unit) bounded
+        by ``max_shard_bytes``. At 10^10 keys / 1% fpp the total is
+        ~12 GiB -> ~96 shards of 128 MiB; no single broadcast or
+        driver-held array ever exceeds the bound."""
+        total_bits = int(-n_keys * math.log(fpp) / (math.log(2) ** 2))
+        n_shards = max(1, math.ceil(total_bits / (max_shard_bytes * 8)))
+        per_shard = 1 << max(6, math.ceil(math.log2(total_bits / n_shards)))
+        while per_shard // 8 > max_shard_bytes:
+            n_shards *= 2
+            per_shard = 1 << math.ceil(math.log2(total_bits / n_shards))
+        return n_shards, per_shard
+
+    # -- vectorized batch ops ---------------------------------------------
+    def _scatter_indices(self, keys: np.ndarray):
+        shard = _shard_of(keys, self.n_shards).astype(np.uint64)
+        bf = BloomFilter.__new__(BloomFilter)
+        bf.n_bits = self.bits_per_shard
+        bf.n_hashes = self.n_hashes
+        pos = bf._positions(np.asarray(keys))  # (n_hashes, n)
+        word = shard[None, :] * np.uint64(self.words_per_shard) + (
+            pos >> np.uint64(6)
+        )
+        bit = np.uint64(1) << (pos & np.uint64(63))
+        return word, bit
+
+    def add(self, keys: np.ndarray) -> None:
+        if len(keys) == 0:
+            return
+        word, bit = self._scatter_indices(keys)
+        flat = self.bits2d.reshape(-1)
+        np.bitwise_or.at(flat, word.ravel(), bit.ravel())
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        word, bit = self._scatter_indices(keys)
+        flat = self.bits2d.reshape(-1)
+        return ((flat[word] & bit) != 0).all(axis=0)
+
+    def merge_bits(self, bits2d: np.ndarray) -> np.ndarray:
+        """OR another (S x words) block in; returns the mask of shards the
+        merge actually changed (so only those need re-broadcast)."""
+        changed = (bits2d & ~self.bits2d).any(axis=1)
+        self.bits2d |= bits2d
+        return changed
+
+
+def build_sharded_bits(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    bits_per_shard: int,
+    n_hashes: int = 5,
+) -> np.ndarray:
+    """Distributed sharded-bloom build: one (S x words) block per partition
+    (single vectorized numpy pass over the partition's keys), OR-merged via
+    ``treeAggregate`` (north rule). Returns the merged (S x words) array.
+
+    Scale note: driver receives O(log(partitions)) blocks of
+    S * bits_per_shard / 8 bytes. When the FULL bitmap exceeds driver
+    memory (10^10 keys), the same build runs per shard-range (groupBy
+    shard of the key stream, one treeAggregate per range) so the driver
+    only ever holds ``max_shard_bytes`` at a time; the sandbox-scale path
+    below keeps the one-pass variant.
+    """
+    proto = ShardedBloom(n_shards, bits_per_shard, n_hashes)
+    zero = np.zeros_like(proto.bits2d)
+
+    def seq_op(bits2d: np.ndarray, rows) -> np.ndarray:
+        sb = ShardedBloom(n_shards, bits_per_shard, n_hashes)
+        sb.bits2d = bits2d
         keys = np.fromiter((r[0] for r in rows), dtype=np.int64)
-        bf.add(keys)
-        return bf.bits
+        sb.add(keys)
+        return sb.bits2d
 
     def comb_op(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return a | b
 
-    zero = np.zeros(n_bits // 64, dtype=np.uint64)
-    # mapPartitions first so seq_op sees whole partitions (vectorized),
-    # then treeAggregate merges the (tiny) bitmaps logarithmically.
-    bitmaps = df.select(key_col).rdd.mapPartitions(
+    n_parts = max(1, df.rdd.getNumPartitions())
+    depth = 2 if n_parts <= 64 else 3
+    blocks = df.select(key_col).rdd.mapPartitions(
         lambda it: [seq_op(zero.copy(), it)]
     )
-    merged = bitmaps.treeAggregate(zero, comb_op, comb_op, depth=depth)
-    bf = BloomFilter(n_bits, n_hashes)
-    bf.bits = merged
-    return bf
+    return blocks.treeAggregate(zero, comb_op, comb_op, depth=depth)
 
 
-def bloom_contains_col(spark, bloom: BloomFilter, key: Column) -> Column:
-    """Broadcast the bitmap once; membership test is a vectorized pandas UDF
-    over the int64 key column."""
-    bc = spark.sparkContext.broadcast(
-        (bloom.bits, bloom.n_bits, bloom.n_hashes)
+def bloom_contains_col(spark, bloom: ShardedBloom, key: Column) -> Column:
+    """Membership test column with per-shard broadcasts created for this
+    call (test/one-shot path; ``SeenSet`` manages long-lived per-shard
+    broadcasts incrementally instead)."""
+    bcs = [
+        spark.sparkContext.broadcast(bloom.bits2d[s])
+        for s in range(bloom.n_shards)
+    ]
+    return _contains_col_from_broadcasts(
+        bcs, bloom.n_shards, bloom.bits_per_shard, bloom.n_hashes, key
     )
+
+
+def _contains_col_from_broadcasts(
+    bcs: list, n_shards: int, bits_per_shard: int, n_hashes: int, key: Column
+) -> Column:
+    """Vectorized membership UDF over per-shard broadcasts. Only the
+    shards present in a batch are ``.value``-accessed — Spark's torrent
+    broadcast fetches lazily, so a task whose candidates are repartitioned
+    by ``pmod(url_hash, S)`` pulls exactly one shard."""
 
     @F.pandas_udf("boolean")
     def _contains(keys: pd.Series) -> pd.Series:
-        bits, n_bits, n_hashes = bc.value
-        bf = BloomFilter(n_bits, n_hashes)
-        bf.bits = bits
-        return pd.Series(bf.contains(keys.to_numpy(dtype=np.int64)))
+        k = keys.to_numpy(dtype=np.int64)
+        shard = _shard_of(k, n_shards)
+        out = np.zeros(len(k), dtype=bool)
+        bf = BloomFilter.__new__(BloomFilter)
+        bf.n_bits = bits_per_shard
+        bf.n_hashes = n_hashes
+        for s in np.unique(shard):
+            m = shard == s
+            bf.bits = bcs[int(s)].value
+            out[m] = bf.contains(k[m])
+        return pd.Series(out)
 
     return _contains(key)
 
 
 class SeenSet:
-    """Exact membership (snapshot table) + incremental Bloom prefilter.
+    """Exact membership (snapshot table) + incremental sharded-Bloom
+    prefilter.
 
     ``filter_new(candidates)`` returns candidates not present in the set:
     bloom-miss rows pass through without touching the join; bloom-hit rows
@@ -144,22 +275,49 @@ class SeenSet:
         n_bits: int = 1 << 23,
         n_hashes: int = 5,
         use_bloom: bool = True,
+        n_shards: int = 16,
     ):
         self.spark = spark
         self.use_bloom = use_bloom
-        self.bloom = BloomFilter(n_bits, n_hashes) if use_bloom else None
+        self.n_shards = n_shards
+        bits_per_shard = max(64, n_bits // n_shards)
+        self.bloom = (
+            ShardedBloom(n_shards, bits_per_shard, n_hashes)
+            if use_bloom
+            else None
+        )
+        # one broadcast per shard, re-published only when the shard changes
+        self._bc: list = [None] * n_shards if use_bloom else []
         self._seen_df: DataFrame | None = None
         self._nonempty = False
 
+    # -- broadcast lifecycle ----------------------------------------------
+    def _publish(self, changed=None) -> None:
+        for s in range(self.bloom.n_shards):
+            if changed is not None and not changed[s] and self._bc[s] is not None:
+                continue
+            old = self._bc[s]
+            self._bc[s] = self.spark.sparkContext.broadcast(
+                self.bloom.bits2d[s]
+            )
+            if old is not None:
+                old.unpersist()
+
+    # -- state -------------------------------------------------------------
     def load(self, seen_df: DataFrame) -> None:
         """(Re)load the exact set, e.g. on resume; rebuilds the bloom
-        distributed."""
+        distributed (treeAggregate of per-partition shard blocks)."""
         self._seen_df = seen_df
         self._nonempty = bool(seen_df.take(1))
         if self.use_bloom and self._nonempty:
-            self.bloom = build_bloom_distributed(
-                seen_df, "url_hash", self.bloom.n_bits, self.bloom.n_hashes
+            self.bloom.bits2d = build_sharded_bits(
+                seen_df,
+                "url_hash",
+                self.bloom.n_shards,
+                self.bloom.bits_per_shard,
+                self.bloom.n_hashes,
             )
+            self._publish()
 
     def set_exact(self, seen_df: DataFrame) -> None:
         """Swap the exact side (e.g. to a freshly committed snapshot read)
@@ -171,8 +329,8 @@ class SeenSet:
     def add(self, new_df: DataFrame) -> None:
         """Register newly seen rows (url_hash, url). The exact table is the
         caller's snapshot append; here we fold the round's hashes into the
-        bloom via a distributed build + driver-side OR (round waves are
-        politeness-bounded, so the per-round build is small)."""
+        bloom (distributed build over the politeness-bounded round, driver
+        OR-merge) and re-broadcast ONLY the shards that changed."""
         self._seen_df = (
             new_df.select("url_hash", "url")
             if self._seen_df is None
@@ -182,10 +340,15 @@ class SeenSet:
         )
         self._nonempty = True
         if self.use_bloom:
-            round_bloom = build_bloom_distributed(
-                new_df, "url_hash", self.bloom.n_bits, self.bloom.n_hashes
+            round_bits = build_sharded_bits(
+                new_df,
+                "url_hash",
+                self.bloom.n_shards,
+                self.bloom.bits_per_shard,
+                self.bloom.n_hashes,
             )
-            self.bloom.merge(round_bloom)
+            changed = self.bloom.merge_bits(round_bits)
+            self._publish(changed)
 
     def filter_new(self, candidates: DataFrame) -> DataFrame:
         if self._seen_df is None or not self._nonempty:
@@ -193,8 +356,12 @@ class SeenSet:
         seen = self._seen_df.select("url_hash", "url")
         if not self.use_bloom:
             return candidates.join(seen, ["url_hash", "url"], "left_anti")
-        maybe_flag = bloom_contains_col(
-            self.spark, self.bloom, F.col("url_hash")
+        maybe_flag = _contains_col_from_broadcasts(
+            self._bc,
+            self.bloom.n_shards,
+            self.bloom.bits_per_shard,
+            self.bloom.n_hashes,
+            F.col("url_hash"),
         )
         flagged = candidates.withColumn("_maybe_seen", maybe_flag)
         definitely_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")

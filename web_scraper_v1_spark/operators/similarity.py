@@ -140,6 +140,76 @@ def lsh_signatures(
     )
 
 
+def lsh_neardup_pairs(
+    embs: DataFrame,
+    dim: int,
+    threshold: float = 0.45,
+    n_planes: int = 32,
+    bands: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs via sign-LSH banding + exact within-bucket
+    verification — the de-quadratic replacement for the all-pairs
+    ``operators/dedup.embedding_neardup_pairs`` baseline (which survives as
+    the test-only oracle twin). Plan shape: band-bucket equi-join, NEVER a
+    cross join; the exact cosine runs only on bucket-colliding candidates.
+
+    Screen recall: a pair at cosine t collides per band with probability
+    p(t)^r where p(t) = 1 - acos(t)/pi and r = n_planes/bands; miss
+    probability = (1 - p^r)^bands. The defaults (r=2, b=16) give per-pair
+    miss ~1.6e-4 at the adversarially LOW t=0.45 the registered query uses
+    (planes are deterministic, so recall is verified empirically against
+    the exact baseline in pytest). At real near-dup thresholds (t >= 0.9)
+    raise r (e.g. r=8) for a hard bucket prune; at t=0.45 the angular
+    radius is 63 degrees and NO sign-LSH parameterization prunes random
+    pairs asymptotically — the structure (bucketed join, exact verify)
+    is what transfers to scale, with the threshold regime documented."""
+    bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sigs = lsh_signatures(embs, dim, n_planes, id_col, vec_col)
+    band_structs = F.expr(
+        f"transform(sequence(0, {bands - 1}), b -> struct("
+        "cast(b as int) as band, "
+        f"shiftrightunsigned(sig, cast(b * {bits_per_band} as int))"
+        f" & {mask} as band_key))"
+    )
+    buckets = sigs.select(
+        "id", F.explode(band_structs).alias("bk")
+    ).select("id", "bk.band", "bk.band_key")
+    la = buckets.select("band", "band_key", F.col("id").alias("id_a"))
+    lb = buckets.select("band", "band_key", F.col("id").alias("id_b"))
+    candidates = (
+        la.join(lb, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    base = sigs.select("id", "v", "norm")
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"),
+        F.col("norm").alias("na"),
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"),
+        F.col("norm").alias("nb"),
+    )
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                4,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_ann_topk(
     embs: DataFrame,
     query_ids: DataFrame,

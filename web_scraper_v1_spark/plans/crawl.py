@@ -34,11 +34,13 @@ from pyspark.sql import types as T
 
 from web_scraper_v1_spark.functions import urls as U
 from web_scraper_v1_spark.functions.extraction import extract_receiver_response
+from web_scraper_v1_spark.operators import ordering
 from web_scraper_v1_spark.operators.frontier import (
     apply_robots,
     per_host_topk,
     prepare_seeds,
 )
+from web_scraper_v1_spark.operators.ordering import global_prefix_sum
 from web_scraper_v1_spark.operators.seen import SeenSet
 from web_scraper_v1_spark.sources.snapshots import SnapshotStore
 
@@ -81,6 +83,38 @@ PROCESSED_SCHEMA = T.StructType(
     ]
 )
 
+# the growing frontier (SURVEY.md §1.3 schema): seed tasks are derived
+# deterministically from the seeds input each run; DISCOVERED tasks are
+# committed here so queue_seq assignment survives resume
+FRONTIER_COLS = (
+    "queue_seq",
+    "priority",
+    "depth",
+    "canonical_url",
+    "url_hash",
+    "host",
+    "path",
+    "arrival_round",
+)
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("queue_seq", T.LongType(), False),
+        T.StructField("priority", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("canonical_url", T.StringType(), False),
+        T.StructField("url_hash", T.LongType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("arrival_round", T.IntegerType(), False),
+    ]
+)
+
+# engine-side twin of fixtures.LINK_PREFIX link lines: one capture per
+# ``Link: <url>`` body line (the parser ignores unknown prefixes, so link
+# lines never affect byte-identical extraction)
+LINK_LINE_RX = r"(?m)^Link: (.*)$"
+
 
 @dataclass
 class RoundStats:
@@ -95,6 +129,7 @@ class RoundStats:
     seq_start: int
     seq_end: int
     duration_s: float
+    discovered: int = 0
 
 
 class CrawlEngine:
@@ -109,6 +144,9 @@ class CrawlEngine:
         use_bloom: bool = True,
         bloom_bits: int = 1 << 23,
         recrawl_after: int | None = None,
+        round_duration_s: float | None = None,
+        discover_links: bool = False,
+        max_depth: int | None = None,
     ):
         self.spark = spark
         self.store = SnapshotStore(run_dir)
@@ -124,18 +162,29 @@ class CrawlEngine:
         # through the exact join against the TTL-filtered live set, so
         # exactness is preserved).
         self.recrawl_after = recrawl_after
+        # North-rule crawl-delay token buckets: when set, each host's
+        # per-round budget is max(1, floor(round_duration_s /
+        # robots.crawl_delay_s)) — a round models this many seconds of
+        # politeness-limited fetching; combined with ``host_budget`` via min.
+        self.round_duration_s = round_duration_s
+        # Frontier growth (SURVEY.md §2 O2: "unionByName of new discoveries
+        # into the frontier table"): fetched pages' ``Link:`` lines become
+        # next-round tasks at depth+1; ``max_depth`` bounds the expansion.
+        self.discover_links = discover_links
+        self.max_depth = max_depth
         self.processed_set = SeenSet(
             spark, n_bits=bloom_bits, use_bloom=use_bloom
         )
 
     # -- state ------------------------------------------------------------
-    def _load_state(self) -> tuple[int, int]:
-        """Returns (next_round, next_seq) from committed lineage."""
+    def _load_state(self) -> tuple[int, int, int | None]:
+        """Returns (next_round, next_seq, next_queue_seq) from committed
+        lineage (next_queue_seq None on a fresh run)."""
         rounds = self.store.rounds()
         if not rounds:
-            return 0, 0
+            return 0, 0, None
         last = max(rounds, key=lambda m: m["round"])
-        return last["round"] + 1, last["seq_end"] + 1
+        return last["round"] + 1, last["seq_end"] + 1, last.get("next_queue_seq")
 
     def trace(self) -> DataFrame:
         return self.store.read(self.spark, "trace", TRACE_SCHEMA)
@@ -148,6 +197,11 @@ class CrawlEngine:
 
     def processed(self) -> DataFrame:
         return self.store.read(self.spark, "processed", PROCESSED_SCHEMA)
+
+    def frontier(self) -> DataFrame:
+        """Committed DISCOVERED frontier rows (seed rows are re-derived
+        from the seeds input each run)."""
+        return self.store.read(self.spark, "frontier", FRONTIER_SCHEMA)
 
     def _processed_live(self, r: int) -> DataFrame:
         """The seen view effective for round ``r``: everything processed,
@@ -165,7 +219,11 @@ class CrawlEngine:
         robots: DataFrame | None = None,
         max_rounds: int = 10_000,
     ) -> list[RoundStats]:
-        prepared = prepare_seeds(seeds, self.batch_size).cache()
+        prepared = (
+            prepare_seeds(seeds, self.batch_size)
+            .select(*FRONTIER_COLS)
+            .cache()
+        )
         max_arrival = (
             prepared.agg(F.max("arrival_round")).collect()[0][0] or 0
         )
@@ -177,7 +235,15 @@ class CrawlEngine:
             F.octet_length(F.col("html")).alias("page_bytes"),
         )
 
-        next_round, next_seq = self._load_state()
+        next_round, next_seq, next_queue_seq = self._load_state()
+        if next_queue_seq is None:
+            # enqueue counter starts after the raw seed ordinals (dup seeds
+            # consume ordinals too — the simulator's enumerate order)
+            next_queue_seq = seeds.count() if self.discover_links else 0
+        if self.discover_links and next_round > 0:
+            m = self.frontier().agg(F.max("arrival_round")).collect()[0][0]
+            if m is not None:
+                max_arrival = max(max_arrival, m)
         self.processed_set.load(self._processed_live(next_round))
 
         stats: list[RoundStats] = []
@@ -189,10 +255,18 @@ class CrawlEngine:
                 # applies TTL expiry even across empty rounds); the bloom is
                 # maintained incrementally inside _run_round
                 self.processed_set.set_exact(self._processed_live(r))
+            enqueued_all = prepared
+            if self.discover_links:
+                enqueued_all = prepared.unionByName(self.frontier())
             pending = self.processed_set.filter_new(
-                prepared.filter(F.col("arrival_round") <= F.lit(r))
+                enqueued_all.filter(
+                    F.col("arrival_round") <= F.lit(r)
+                ).withColumn("url", F.col("canonical_url"))
             )
-            st = self._run_round(r, next_seq, pending, pages_prepared, robots)
+            st = self._run_round(
+                r, next_seq, pending, pages_prepared, robots,
+                enqueued_all=enqueued_all, next_queue_seq=next_queue_seq,
+            )
             if st is None:
                 if r > max_arrival and self.recrawl_after is None:
                     break
@@ -205,6 +279,9 @@ class CrawlEngine:
                 continue
             stats.append(st)
             next_seq = st.seq_end + 1
+            next_queue_seq += st.discovered
+            if st.discovered:
+                max_arrival = max(max_arrival, r + 1)
             r += 1
         prepared.unpersist()
         return stats
@@ -216,41 +293,70 @@ class CrawlEngine:
         pending: DataFrame,
         pages_prepared: DataFrame,
         robots: DataFrame | None,
+        enqueued_all: DataFrame | None = None,
+        next_queue_seq: int = 0,
     ) -> RoundStats | None:
         t0 = time.monotonic()
         checked = apply_robots(pending, robots)
+        budget_col = None
+        if self.round_duration_s is not None:
+            # crawl-delay token budget, constant per host (null delay ->
+            # null -> unlimited from this term; host_budget still caps)
+            checked = checked.withColumn(
+                "_budget",
+                F.when(
+                    F.col("crawl_delay_s").isNotNull(),
+                    F.greatest(
+                        F.lit(1),
+                        F.floor(
+                            F.lit(float(self.round_duration_s))
+                            / F.col("crawl_delay_s")
+                        ).cast("int"),
+                    ),
+                ),
+            )
+            budget_col = "_budget"
         ranked = per_host_topk(
             checked.filter(~F.col("robots_blocked")),
             self.host_budget,
+            order_cols=("priority", "queue_seq"),
             salt_buckets=self.salt_buckets,
+            budget_col=budget_col,
         )
         selected = ranked.filter(F.col("selected")).drop("selected").cache()
-        n_selected = selected.count()
+        deferred_rows = ranked.filter(~F.col("selected"))
         blocked = checked.filter(F.col("robots_blocked"))
-        n_deferred = 0
-        if self.host_budget is not None:
-            n_deferred = ranked.filter(~F.col("selected")).count()
 
         # -- fetch = join wave against the corpus. The wave is politeness-
         # bounded (small); broadcast it so the 100 TB corpus never shuffles:
         # an inner broadcast-hash join finds hits, misses come from a
-        # broadcast anti-join of the wave against the hit keys.
-        hits = (
-            pages_prepared.join(
-                F.broadcast(selected), "canonical_url", "inner"
-            )
-            if n_selected
-            else None
+        # broadcast anti-join of the wave against the hit keys. (Built
+        # unconditionally — an empty wave broadcasts an empty relation;
+        # the round's one accounting aggregation below decides emptiness.)
+        hits = pages_prepared.join(
+            F.broadcast(selected), "canonical_url", "inner"
         )
         if hits is not None:
             parsed = hits.withColumn(
                 "r", extract_receiver_response(F.col("html"))
             ).select(
                 "queue_seq",
+                "priority",
+                "depth",
                 "canonical_url",
                 "url_hash",
                 "host",
                 "page_bytes",
+                # outlink discovery source: JVM-side regex over the body
+                # (link lines are ignored by the byte-parity extractor);
+                # skipped entirely when discovery is off
+                (
+                    F.regexp_extract_all(
+                        F.decode("html", "UTF-8"), F.lit(LINK_LINE_RX), 1
+                    )
+                    if self.discover_links
+                    else F.array().cast("array<string>")
+                ).alias("outlinks"),
                 F.col("r.user_agent").alias("user_agent"),
                 F.col("r.ip_address").alias("ip_address"),
                 F.col("r.forwarded_host").alias("forwarded_host"),
@@ -261,6 +367,7 @@ class CrawlEngine:
                 F.broadcast(hit_keys), "canonical_url", "left_anti"
             ).select(
                 "queue_seq",
+                "priority",
                 "canonical_url",
                 "url_hash",
                 "host",
@@ -270,7 +377,7 @@ class CrawlEngine:
                 F.lit(None).cast("string").alias("forwarded_host"),
                 F.lit(True).alias("parse_error"),
             )
-            fetch_rows = parsed.unionByName(misses)
+            fetch_rows = parsed.drop("depth", "outlinks").unionByName(misses)
         else:
             fetch_rows = None
 
@@ -279,6 +386,7 @@ class CrawlEngine:
         # sandbox: every retry fails identically), worker.go:81-95.
         common = [
             "queue_seq",
+            "priority",
             "canonical_url",
             "url_hash",
             "host",
@@ -305,6 +413,7 @@ class CrawlEngine:
             )
         blocked_rows = blocked.select(
             "queue_seq",
+            "priority",
             "canonical_url",
             "url_hash",
             "host",
@@ -321,25 +430,69 @@ class CrawlEngine:
             task_rows = task_rows.unionByName(p)
         task_rows = task_rows.cache()
 
-        n_tasks = task_rows.count()
+        # -- ONE accounting aggregation per round: outcome counts, attempt
+        # and byte sums, per-partition histogram, and the deferred count
+        # all come from a single grouped collect over (kind, partition) —
+        # the result is <= kinds x partitions rows, driver-tiny. This also
+        # materializes the task_rows cache.
+        accounting = task_rows.select(
+            "outcome_kind",
+            F.col("n_attempts").cast("long").alias("att"),
+            F.coalesce("page_bytes", F.lit(0)).cast("long").alias("bytes"),
+        ).unionByName(
+            deferred_rows.select(
+                F.lit("deferred").alias("outcome_kind"),
+                F.lit(0).cast("long").alias("att"),
+                F.lit(0).cast("long").alias("bytes"),
+            )
+        )
+        agg = (
+            accounting.groupBy(
+                "outcome_kind", F.spark_partition_id().alias("pid")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("att").alias("att"),
+                F.sum("bytes").alias("bytes"),
+            )
+            .collect()
+        )
+        by_kind: dict[str, int] = {}
+        part_hist: dict[str, int] = {}
+        n_attempts = n_bytes = 0
+        for row in agg:
+            by_kind[row.outcome_kind] = by_kind.get(row.outcome_kind, 0) + row.n
+            if row.outcome_kind != "deferred":
+                part_hist[str(row.pid)] = (
+                    part_hist.get(str(row.pid), 0) + row.n
+                )
+                n_attempts += row.att
+                n_bytes += row.bytes
+        n_deferred = by_kind.get("deferred", 0)
+        n_fetched = by_kind.get("fetched", 0)
+        n_dropped = by_kind.get("failing", 0)
+        n_blocked = by_kind.get("blocked", 0)
+        n_tasks = n_fetched + n_dropped + n_blocked
         if n_tasks == 0:
             selected.unpersist()
+            if fetch_rows is not None:
+                parsed.unpersist()
             task_rows.unpersist()
             return None
 
-        # -- global sequential trace (queue order). The window is over the
-        # wave only (politeness-bounded), not the frontier; at cluster scale
-        # this single-partition sort is the one deliberately serial step,
-        # and it sorts k*hosts rows, not 10^10.
-        w = Window.orderBy("queue_seq")
-        start = F.coalesce(
-            F.sum("n_attempts").over(
-                w.rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        )
+        # -- global sequential trace ((priority, queue) order): each task
+        # occupies n_attempts consecutive seqs. The prefix sum over the
+        # global order is computed shuffle-parallel (range partition +
+        # per-partition windows + driver prefix of per-partition totals,
+        # operators/ordering.py) — no single-partition sort even when the
+        # wave is the whole unbudgeted frontier.
         exploded = (
-            task_rows.withColumn("_start", start)
+            global_prefix_sum(
+                task_rows,
+                ("priority", "queue_seq"),
+                F.col("n_attempts"),
+                "_start",
+            )
             .select(
                 "*",
                 F.posexplode(F.sequence(F.lit(1), F.col("n_attempts"))).alias(
@@ -398,24 +551,64 @@ class CrawlEngine:
             .alias("outcome"),
         )
 
-        # -- metrics (one small aggregation pass over the cached wave)
-        agg = task_rows.groupBy("outcome_kind").agg(
-            F.count("*").alias("n"),
-            F.sum("n_attempts").alias("att"),
-            F.sum(F.coalesce("page_bytes", F.lit(0))).alias("bytes"),
-        ).collect()
-        by_kind = {row.outcome_kind: row for row in agg}
-        n_fetched = by_kind.get("fetched").n if "fetched" in by_kind else 0
-        n_dropped = by_kind.get("failing").n if "failing" in by_kind else 0
-        n_blocked = by_kind.get("blocked").n if "blocked" in by_kind else 0
-        n_attempts = sum(row.att for row in agg)
-        n_bytes = sum(row.bytes for row in agg)
-        part_hist = {
-            str(row[0]): row[1]
-            for row in task_rows.groupBy(F.spark_partition_id())
-            .count()
-            .collect()
-        }
+        # -- link discovery: fetched pages' outlinks become next-round
+        # frontier rows (O2 frontier growth). Dedup is two-stage: first
+        # occurrence within the round's discoveries (window keyed by the
+        # canonical URL, parent-trace order), then an anti-join against
+        # everything ever enqueued; enqueue order (queue_seq) is assigned
+        # by the same scalable prefix-sum as the trace.
+        n_discovered = 0
+        frontier_add = None
+        if self.discover_links and fetch_rows is not None:
+            cand = parsed.filter(~F.col("parse_error")).select(
+                F.col("priority").alias("parent_prio"),
+                F.col("queue_seq").alias("parent_seq"),
+                F.col("depth").alias("parent_depth"),
+                F.posexplode("outlinks").alias("link_idx", "target"),
+            )
+            cand = (
+                cand.withColumn(
+                    "canonical_url", U.canonicalize(F.col("target"))
+                )
+                .withColumn("url_hash", U.url_hash(F.col("canonical_url")))
+                .withColumn("host", U.host(F.col("target")))
+                .withColumn("path", U.path(F.col("target")))
+                .withColumn("depth", (F.col("parent_depth") + 1).cast("int"))
+            )
+            if self.max_depth is not None:
+                cand = cand.filter(F.col("depth") <= self.max_depth)
+            w_first = Window.partitionBy("canonical_url").orderBy(
+                "parent_prio", "parent_seq", "link_idx"
+            )
+            firsts = (
+                cand.withColumn("_rn", F.row_number().over(w_first))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            fresh = firsts.join(
+                enqueued_all.select("url_hash", "canonical_url"),
+                ["url_hash", "canonical_url"],
+                "left_anti",
+            )
+            assigned = global_prefix_sum(
+                fresh,
+                ("parent_prio", "parent_seq", "link_idx"),
+                F.lit(1),
+                "_rank",
+            )
+            frontier_add = assigned.select(
+                (F.lit(next_queue_seq) + F.col("_rank"))
+                .cast("long")
+                .alias("queue_seq"),
+                F.lit(0).cast("int").alias("priority"),
+                F.col("depth"),
+                "canonical_url",
+                "url_hash",
+                "host",
+                "path",
+                F.lit(r + 1).cast("int").alias("arrival_round"),
+            ).cache()
+            n_discovered = frontier_add.count()
 
         # -- write snapshots (invisible until the manifest commit below)
         tables = {
@@ -425,6 +618,10 @@ class CrawlEngine:
         if n_fetched:
             tables["seen"] = self.store.write_snapshot(seen_df, "seen", r)
             tables["results"] = self.store.write_snapshot(results_df, "results", r)
+        if n_discovered:
+            tables["frontier"] = self.store.write_snapshot(
+                frontier_add, "frontier", r
+            )
 
         st = RoundStats(
             round=r,
@@ -438,6 +635,7 @@ class CrawlEngine:
             seq_start=seq_base,
             seq_end=seq_base + n_attempts - 1,
             duration_s=round(time.monotonic() - t0, 3),
+            discovered=n_discovered,
         )
         self.store.commit_round(
             r,
@@ -454,6 +652,8 @@ class CrawlEngine:
                 "seq_start": st.seq_start,
                 "seq_end": st.seq_end,
                 "duration_s": st.duration_s,
+                "discovered": st.discovered,
+                "next_queue_seq": next_queue_seq + n_discovered,
                 "partition_histogram": part_hist,
             },
         )
@@ -464,5 +664,8 @@ class CrawlEngine:
         selected.unpersist()
         if fetch_rows is not None:
             parsed.unpersist()
+        if frontier_add is not None:
+            frontier_add.unpersist()
         task_rows.unpersist()
+        ordering.release_cached()
         return st

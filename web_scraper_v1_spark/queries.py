@@ -510,6 +510,66 @@ def q_per_host_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "priority_wave",
+    f"""
+    SELECT {_HOST_SQL} AS host, doc_id,
+           CAST(doc_id % 2 AS INT) AS priority
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY {_HOST_SQL}
+        ORDER BY doc_id % 2, doc_id) <= 2
+    """,
+)
+def q_priority_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3 priority-aware wave: per-host top-k ordered by (priority,
+    queue_seq) — lower priority value first, SURVEY.md §1.3 frontier
+    ordering (the engine's CrawlEngine wave uses the same order_cols)."""
+    urls = _derived_urls(spark, sf_dir)
+    frontier = urls.select(
+        "host",
+        F.col("doc_id").alias("queue_seq"),
+        U.url_hash(F.col("url")).alias("url_hash"),
+        (F.col("doc_id") % 2).cast("int").alias("priority"),
+        "doc_id",
+    )
+    wave = per_host_topk(
+        frontier, k=2, order_cols=("priority", "queue_seq"), salt_buckets=4
+    )
+    return wave.filter(F.col("selected")).select("host", "doc_id", "priority")
+
+
+@_q(
+    "crawl_delay_wave",
+    f"""
+    SELECT {_HOST_SQL} AS host, doc_id
+    FROM documents
+    QUALIFY row_number() OVER (PARTITION BY {_HOST_SQL} ORDER BY doc_id)
+        <= 1 + (doc_id % 37) % 3
+    """,
+)
+def q_crawl_delay_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule crawl-delay token buckets: per-host budgets derived from
+    heterogeneous crawl delays (budget = floor(round_duration / delay) =
+    1 + host_n % 3 here), selected via the per-row budget column path of
+    per_host_topk — the same operator CrawlEngine uses when
+    ``round_duration_s`` is set."""
+    urls = _derived_urls(spark, sf_dir)
+    # delay such that floor(6 / delay) = 1 + host_n % 3 (6/6=1, 6/3=2, 6/2=3)
+    host_n = F.regexp_extract("host", r"host(\d+)\.", 1).cast("int")
+    delay = F.lit(6.0) / (F.lit(1.0) + (host_n % 3).cast("double"))
+    frontier = urls.select(
+        "host",
+        F.col("doc_id").alias("queue_seq"),
+        U.url_hash(F.col("url")).alias("url_hash"),
+        F.greatest(
+            F.lit(1), F.floor(F.lit(6.0) / delay).cast("int")
+        ).alias("budget"),
+        "doc_id",
+    )
+    wave = per_host_topk(frontier, k=None, salt_buckets=4, budget_col="budget")
+    return wave.filter(F.col("selected")).select("host", "doc_id")
+
+
+@_q(
     "seen_anti_join_urls",
     f"""
     SELECT doc_id, {_URL_SQL} AS url
@@ -781,6 +841,88 @@ def q_ua_generation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", ua.alias("user_agent"))
 
 
+@_q(
+    "host_rate_window",
+    """
+    SELECT time_bucket(INTERVAL '1 minute',
+                       TIMESTAMP '2024-12-07 00:00:00'
+                       + doc_id * INTERVAL '1 second') AS window_start,
+           'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+           COUNT(*) AS n_urls
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q_host_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming plane's windowed per-host fetch-rate
+    metric: the EXACT plan streaming/results_stream.host_rate_metrics
+    builds (event-time tumbling window + watermark; the watermark node is
+    eliminated on batch input), oracle-gated via DuckDB time_bucket. The
+    streaming execution of the same function is pytest-gated
+    (tests/test_streaming.py)."""
+    from web_scraper_v1_spark.streaming.results_stream import (
+        host_rate_metrics,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 37).cast("string")
+    decoded = d.select(
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.lit("2024-12-07 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("fetch_ts"),
+    )
+    return host_rate_metrics(decoded)
+
+
+@_q(
+    "link_extract",
+    """
+    WITH bodies AS (
+      SELECT doc_id,
+             'Received User-Agent: UA-' || CAST(doc_id AS VARCHAR)
+             || chr(10) || 'Link: http://host'
+                || CAST((doc_id * 7 + 1) % 37 AS VARCHAR)
+                || '.example.com/doc/' || CAST((doc_id * 3 + 1) % 1000 AS VARCHAR)
+             || chr(10) || 'not a link line'
+             || chr(10) || 'Link: http://host'
+                || CAST((doc_id * 11 + 2) % 37 AS VARCHAR)
+                || '.example.com/doc/' || CAST((doc_id * 5 + 2) % 1000 AS VARCHAR)
+             AS body
+      FROM documents
+    )
+    SELECT doc_id,
+           unnest(regexp_extract_all(body, '(?m)^Link: (.*)$', 1)) AS link
+    FROM bodies
+    """,
+)
+def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 frontier growth, parse-time link extraction: multiline regex over
+    the page body pulls every ``Link:`` line (the same JVM expression
+    CrawlEngine uses for discovery, plans/crawl.py LINK_LINE_RX) — pure
+    string ops, fully SQL-oracle-gated."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("Received User-Agent: UA-"), i,
+        F.lit("\nLink: http://host"),
+        ((F.col("doc_id") * 7 + 1) % 37).cast("string"),
+        F.lit(".example.com/doc/"),
+        ((F.col("doc_id") * 3 + 1) % 1000).cast("string"),
+        F.lit("\nnot a link line"),
+        F.lit("\nLink: http://host"),
+        ((F.col("doc_id") * 11 + 2) % 37).cast("string"),
+        F.lit(".example.com/doc/"),
+        ((F.col("doc_id") * 5 + 2) % 1000).cast("string"),
+    )
+    links = F.regexp_extract_all(body, F.lit(r"(?m)^Link: (.*)$"), 1)
+    return d.select("doc_id", F.explode(links).alias("link"))
+
+
 # --------------------------------------------------------------------------
 # Text analysis (training-data pipeline layer)
 # --------------------------------------------------------------------------
@@ -988,10 +1130,16 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact all-pairs baseline; the LSH
-    scale path is ann_lsh below)."""
-    return DD.embedding_neardup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.45
+    """Embedding-cosine near-dup pairs via sign-LSH banding + exact
+    within-bucket verification (operators/similarity.lsh_neardup_pairs).
+    The oracle is the exact all-pairs result: the deterministic planes are
+    tuned so screen recall is 1.0 on this corpus, and verification makes
+    precision exact — same contract as the MinHash/SimHash strategies. The
+    all-pairs crossJoin baseline survives only as the pytest twin
+    (operators/dedup.embedding_neardup_pairs); the registered plan
+    contains no cartesian product (asserted in tests/test_plans.py)."""
+    return SIM.lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), dim=64, threshold=0.45
     )
 
 
@@ -1025,26 +1173,112 @@ def q_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.cosine_topk(embs, qids, k=5)
 
 
-# --------------------------------------------------------------------------
-# Rows-only queries (genuinely non-SQL-expressible; weaker driver check)
-# --------------------------------------------------------------------------
+# -- ann_lsh: the hyperplanes are deterministic (md5-derived), so the
+# WHOLE approximate algorithm is SQL-expressible: the oracle inlines the
+# identical plane matrix as literals and reproduces signature -> banded
+# candidates -> exact-cosine top-k. repr() floats round-trip exactly in
+# both engines.
+
+from web_scraper_v1_spark.operators.similarity import hyperplanes  # noqa: E402
 
 
-@_q("ann_lsh", None)
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 16, bands: int = 4) -> str:
+    planes = hyperplanes(dim, n_planes)
+    bits = bits_per_band = n_planes // bands
+    mask = (1 << bits_per_band) - 1
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(c) for c in row)}])"
+        f" >= 0 THEN {1 << p} ELSE 0 END)"
+        for p, row in enumerate(planes)
+    )
+    assert bits  # silence lint
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), sig AS (
+      SELECT vec_id, e, {sig_terms} AS sig FROM v
+    ), bands AS (
+      SELECT vec_id, e, t.band,
+             (sig >> (t.band * {bits_per_band})) & {mask} AS band_key
+      FROM sig CROSS JOIN generate_series(0, {bands - 1}) AS t(band)
+    ), cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS id
+      FROM bands q JOIN bands c
+        ON q.band = c.band AND q.band_key = c.band_key
+      WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
+    ), scored AS (
+      SELECT cand.query_id, cand.id AS neighbor_id,
+             round(list_dot_product(qe.e, ce.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e))
+                      * sqrt(list_dot_product(ce.e, ce.e))), 6) AS c6
+      FROM cand
+      JOIN v qe ON qe.vec_id = cand.query_id
+      JOIN v ce ON ce.vec_id = cand.id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY c6 DESC, neighbor_id) AS INT) AS rank,
+           round(c6, 4) AS cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@_q("ann_lsh", _ann_lsh_oracle())
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (approximate -> no SQL oracle; pytest gates
-    recall against the brute-force baseline instead)."""
+    """Sign-LSH bucketed ANN top-k. Approximate BUT deterministic: the
+    md5-derived planes are pure functions of (plane, dim), so the DuckDB
+    oracle replays the identical algorithm (literal plane matrix, same
+    banding, exact cosine within buckets) — a full value-hash gate, not a
+    recall bound."""
     embs = _t(spark, sf_dir, "embeddings")
     qids = embs.select("vec_id").filter(F.col("vec_id") < 20)
     return SIM.lsh_ann_topk(embs, qids, dim=64, k=5)
 
 
-@_q("multimodal_features", None)
+# --------------------------------------------------------------------------
+# Rows-only queries (genuinely non-SQL-expressible; weaker driver check)
+# --------------------------------------------------------------------------
+
+
+# -- multimodal_features: the deterministic fake codec sums byte chunks
+# (np.array_split semantics: chunk j of 16 spans [j*k + min(j,m),
+# (j+1)*k + min(j+1,m)) with k, m = divmod(len, 16)); the corpus text is
+# pure ASCII (asserted in pytest), so DuckDB's 1-based character ops
+# reproduce the byte arithmetic exactly.
+
+_MM_CHUNK_TERMS = ", ".join(
+    f"""CASE WHEN k + CASE WHEN {j} < m THEN 1 ELSE 0 END = 0 THEN 0.0
+        ELSE CAST(list_sum([ascii(s[i]) for i in
+               range({j} * k + least({j}, m) + 1,
+                     {j + 1} * k + least({j + 1}, m) + 1)]) % 1000
+             AS DOUBLE) / 1000.0 END"""
+    for j in range(16)
+)
+
+
+@_q(
+    "multimodal_features",
+    f"""
+    WITH p AS (
+      SELECT doc_id, text AS s, strlen(text) // 16 AS k,
+             strlen(text) % 16 AS m
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+           CAST(strlen(s) AS BIGINT) AS payload_bytes,
+           round(list_sum([{_MM_CHUNK_TERMS}]), 4) AS feature_sum
+    FROM p
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload media plumbing: synthesized opaque payloads ->
     mapInPandas feature extraction (deterministic fake codec; the real
     decode seam raises NotImplementedError per the container's
-    no-media-libs constraint)."""
+    no-media-libs constraint). The fake codec's byte-chunk arithmetic is
+    replayed exactly by the DuckDB oracle, so the whole Arrow pipeline is
+    value-hash gated."""
     media = synthesize_media_from_documents(_t(spark, sf_dir, "documents"))
     feats = extract_features(media, use_fake=True)
     return feats.select(
@@ -1056,10 +1290,48 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q("winnow_fingerprint", None)
+# -- winnow_fingerprint: polynomial rolling k-gram hashes (base 257,
+# wrapping mod 2^64) with a sliding-window min — DuckDB replays it with
+# HUGEINT arithmetic + list comprehensions over the ASCII bytes.
+
+_WINNOW_POWS = [257**j for j in range(7, -1, -1)]
+_WINNOW_HASH = " + ".join(
+    f"ascii(s[i + {j}])::HUGEINT * {p}" for j, p in enumerate(_WINNOW_POWS)
+)
+
+
+@_q(
+    "winnow_fingerprint",
+    f"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), kh AS (
+      SELECT doc_id,
+             CASE WHEN strlen(s) < 8 THEN CAST([] AS HUGEINT[])
+                  ELSE [({_WINNOW_HASH}) % 18446744073709551616
+                        for i in range(1, strlen(s) - 6)]
+             END AS hashes
+      FROM norm
+    ), picks AS (
+      SELECT doc_id,
+             CASE WHEN len(hashes) = 0 THEN CAST([] AS HUGEINT[])
+                  WHEN len(hashes) < 4 THEN [list_min(hashes)]
+                  ELSE [list_min(hashes[i:i + 3])
+                        for i in range(1, len(hashes) - 2)]
+             END AS mins
+      FROM kh
+    )
+    SELECT doc_id,
+           CAST(len(list_distinct(mins)) AS BIGINT) AS n_fingerprints
+    FROM picks
+    """,
+)
 def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprints (custom sketch -> Arrow UDF;
-    no SQL twin)."""
+    the rolling-hash arithmetic is deterministic, so the DuckDB oracle
+    replays it exactly — see the HUGEINT twin above)."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",

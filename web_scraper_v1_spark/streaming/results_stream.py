@@ -81,7 +81,16 @@ def host_rate_metrics(
     watermark: str = "2 minutes",
 ) -> DataFrame:
     """Event-time windowed fetch-rate per host with a watermark for late
-    records — the streaming version of the per-round metrics table (O24)."""
+    records — the streaming version of the per-round metrics table (O24).
+
+    Consumption contract: in ``update`` output mode a window's row is
+    re-emitted by EVERY micro-batch that touches it (counts are monotone
+    per (window_start, host)), so consumers must keep the LAST update per
+    key — max(n_urls) — never sum emissions across batches. Append mode
+    emits once per finalized window but withholds windows the watermark
+    has not passed at stream end. Also valid on a BATCH DataFrame (the
+    watermark node is eliminated), which is how the oracle-gated
+    ``host_rate_window`` registry query runs this exact plan."""
     host = F.substring_index(
         F.substring_index("url", "://", -1), "/", 1
     ).alias("host")
