@@ -111,11 +111,14 @@ def run_wave_bench(spark, n_pages: int = 200_000) -> dict:
         spark, seeds, pages, seen=seen, parse_features=True
     )
     wave.count()  # warm
-    t0 = time.monotonic()
-    n = fetch_parse_wave(
-        spark, seeds, pages, seen=seen, parse_features=True
-    ).count()
-    dt = time.monotonic() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        n = fetch_parse_wave(
+            spark, seeds, pages, seen=seen, parse_features=True
+        ).count()
+        times.append(time.monotonic() - t0)
+    dt = sorted(times)[1]  # median of 3 (the VM shows multi-second noise)
     return {
         "seconds": round(dt, 3),
         "urls_parsed": n,
@@ -135,8 +138,19 @@ def main() -> None:
 
     spark = build_session("bench")
     # warm the JVM/session once with a trivial job so per-query timings
-    # measure the queries, not sandbox startup
+    # measure the queries, not sandbox startup — including the Python
+    # worker pool + Arrow IPC path (first pandas-UDF invocation otherwise
+    # bills ~5-8 s of daemon startup to whichever query runs first)
     spark.range(1000).count()
+    from pyspark.sql import functions as F
+
+    from web_scraper_v1_spark.functions.extraction import (
+        extract_receiver_response,
+    )
+
+    spark.range(10_000).repartition(64).select(
+        extract_receiver_response(F.encode(F.lit("a\nb\nc"), "UTF-8"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings = run_bench(spark, sf_dir, names)
     wave = run_wave_bench(spark)

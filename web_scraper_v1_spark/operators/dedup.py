@@ -153,14 +153,24 @@ def ngram_jaccard_pairs(
 
     The ``max_df`` prune applies to CANDIDATE GENERATION only: a shingle in
     more than max_df docs would create a quadratic posting bucket, so it is
-    dropped from the index. Verification still uses full shingle sets, so
-    pruning never changes a reported Jaccard value; a true pair is missed
-    only if EVERY shared shingle is hot (>max_df docs) — at threshold 0.8
-    the pair shares >=80% of its shingles, so that requires essentially the
-    whole document to be corpus-wide boilerplate."""
+    dropped from the index. Candidates are then screened with a PROVABLE
+    Jaccard upper bound before exact verification: with inter_kept shared
+    kept-shingles and p_a/p_b pruned-shingle counts per doc, the true
+    intersection is <= inter_kept + min(p_a, p_b), so
+
+        j_ub = (inter_kept + min(p_a, p_b))
+               / (n_a + n_b - inter_kept - min(p_a, p_b))  >=  true Jaccard
+
+    and dropping candidates with j_ub < threshold is lossless. Survivors
+    are verified with exact Jaccard over FULL shingle arrays (the same
+    ``_verified_pairs`` every strategy uses), so reported values are always
+    unpruned-exact; with no hot shingles (p=0) the screen is itself exact
+    and verification touches only true pairs. A true pair is missed only
+    if EVERY shared shingle is hot (>max_df docs) — whole-document
+    corpus-wide boilerplate."""
     shingled = _persist(doc_shingles(docs, id_col, text_col, n))
     postings = shingled.select(
-        "id", F.explode("shingles").alias("shingle")
+        "id", "n_shingles", F.explode("shingles").alias("shingle")
     )
     if max_df:
         df_counts = postings.groupBy("shingle").agg(
@@ -171,17 +181,34 @@ def ngram_jaccard_pairs(
                 df_counts.filter(F.col("_df") <= max_df), "shingle"
             ).drop("_df")
         )
-    a = postings.select(
-        F.col("shingle"), F.col("id").alias("id_a")
+    # kept-posting count per doc -> pruned count p = n_shingles - n_kept
+    kept = postings.groupBy("id", "n_shingles").agg(
+        F.count("*").alias("_n_kept")
     )
-    b = postings.select(
-        F.col("shingle"), F.col("id").alias("id_b")
+    a = postings.join(kept, ["id", "n_shingles"]).select(
+        F.col("shingle"),
+        F.col("id").alias("id_a"),
+        F.col("n_shingles").alias("n_a"),
+        (F.col("n_shingles") - F.col("_n_kept")).alias("p_a"),
     )
+    b = postings.join(kept, ["id", "n_shingles"]).select(
+        F.col("shingle"),
+        F.col("id").alias("id_b"),
+        F.col("n_shingles").alias("n_b"),
+        (F.col("n_shingles") - F.col("_n_kept")).alias("p_b"),
+    )
+    inter_ub = F.col("inter_kept") + F.least("p_a", "p_b")
     candidates = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b", "p_a", "p_b")
+        .agg(F.count("*").alias("inter_kept"))
+        .filter(
+            inter_ub.cast("double")
+            / (F.col("n_a") + F.col("n_b") - inter_ub).cast("double")
+            >= threshold
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     return _verified_pairs(candidates, shingled, threshold)
 

@@ -2,15 +2,20 @@
 job pipeline — the declarative replacement for the reference's transmitter
 loop (/root/reference/cmd/transmitter/main.go:173-218):
 
-    frontier pending  (seeds ⟕anti processed, Bloom-prefiltered)
-      → robots broadcast-join
-      → per-host window top-k (politeness budget, salted vs skew)
+    frontier pending  (seeds ∪ discovered, ⟕anti processed,
+                       sharded-Bloom-prefiltered)
+      → robots broadcast-join (disallow prefixes + crawl_delay_s)
+      → per-host window top-k ordered by (priority, queue_seq), budget =
+        min(host_budget, crawl-delay token budget), salted vs skew
       → "fetch" = join against the page corpus (O7: the sandbox fetch is a
          join; a live fetch would be pooled HTTP in mapInPandas)
       → vectorized extraction UDF (O8, byte-identical)
+      → link discovery (O2 frontier growth: Link: lines → canonicalize →
+        dedup vs all-enqueued → next-round frontier rows at depth+1)
       → retry expansion (O6: attempts column + posexplode — deterministic
          failures re-emit retry_limit attempt rows, exhausted -> dropped)
-      → append trace / seen / results / processed snapshots + lineage
+      → append trace / seen / results / processed / frontier snapshots
+        + lineage (one accounting aggregation per round)
 
 Batch barriers (queue.go:64-71 / worker_manager.go:131-138) become Spark
 action boundaries: one committed round == one drained batch. The identity
