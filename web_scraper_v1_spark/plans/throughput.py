@@ -168,11 +168,18 @@ def fetch_parse_from_frontier(
     # (c) The Arrow UDFs (extraction, then sketching over the EXTRACTED
     #     text — what a training-data pipeline sketches) run in the
     #     post-join stage, fed ~200 B rows from the shuffle.
+    # the 3-line head always fits in the leading 512 bytes of the receiver
+    # corpus format (UA line <= ~130 B incl. the 2-byte Cyrillic pair, IP +
+    # host lines far less), so cut BINARY-side before decoding — charset
+    # decode is per-byte work and bodies are KBs (measured 1.6x on the
+    # head projection at 3M pages; a mid-codepoint cut can only land in
+    # line >= 4, which substring_index discards). The generic full-body
+    # path in functions/extraction.py remains the byte-parity gate.
     pages_head = pages.select(
         U.canonicalize(F.col("url")).alias("canonical_url"),
-        F.substring_index(F.decode("html", "UTF-8"), "\n", 3).alias(
-            "head"
-        ),
+        F.substring_index(
+            F.decode(F.substring(F.col("html"), 1, 512), "UTF-8"), "\n", 3
+        ).alias("head"),
         F.octet_length("html").alias("page_bytes"),
     )
     fetched = pages_head.join(
