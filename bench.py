@@ -30,6 +30,7 @@ HEADLINE = [
     "url_canonicalize",
     "robots_filter",
     "link_extract",
+    "frontier_growth",
     "host_rate_window",
     # relational core
     "groupby_agg",

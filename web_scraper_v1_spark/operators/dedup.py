@@ -44,7 +44,15 @@ from web_scraper_v1_spark.functions import text as TX
 _PERSISTED: list[DataFrame] = []
 
 
-def _persist(df: DataFrame) -> DataFrame:
+def _persist(df: DataFrame, fresh: bool = False) -> DataFrame:
+    """Persist + register. ``fresh=True`` (passed by each strategy's entry
+    point) first releases frames cached by PREVIOUS invocations, so a
+    harness that runs many registry queries in one session (the driver's
+    correctness gate) cannot accumulate blocks even if it never calls
+    release_cached() — unpersisting only removes caching; any still-lazy
+    plan built on an old frame simply recomputes."""
+    if fresh:
+        release_cached()
     df = df.persist()
     _PERSISTED.append(df)
     return df
@@ -168,7 +176,7 @@ def ngram_jaccard_pairs(
     and verification touches only true pairs. A true pair is missed only
     if EVERY shared shingle is hot (>max_df docs) — whole-document
     corpus-wide boilerplate."""
-    shingled = _persist(doc_shingles(docs, id_col, text_col, n))
+    shingled = _persist(doc_shingles(docs, id_col, text_col, n), fresh=True)
     postings = shingled.select(
         "id", "n_shingles", F.explode("shingles").alias("shingle")
     )
@@ -282,7 +290,7 @@ def minhash_lsh_pairs(
     sizes are the skew concern at 100 TB; identical docs form the only big
     buckets and exact-dedup runs first in the full pipeline."""
     rows_per_band = num_hashes // bands
-    shingled = _persist(doc_shingles(docs, id_col, text_col, n))
+    shingled = _persist(doc_shingles(docs, id_col, text_col, n), fresh=True)
     sigs = _persist(minhash_signatures(shingled, num_hashes))
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -347,7 +355,7 @@ def simhash_pairs(
     (Jaccard >= 0.8) share the vast majority of shingle hashes, putting
     their sketches well inside that radius; the exact-Jaccard verification
     then makes precision 1.0."""
-    shingled = _persist(doc_shingles(docs, id_col, text_col, n))
+    shingled = _persist(doc_shingles(docs, id_col, text_col, n), fresh=True)
     sk = _persist(simhash_sketches(shingled))
     # 16 bands of 4 bits; shiftrightunsigned-by-column only exists at the
     # SQL layer (the Python builtin requires a literal shift)

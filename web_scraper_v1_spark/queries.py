@@ -880,6 +880,57 @@ def q_host_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "frontier_growth",
+    f"""
+    WITH seeds AS (
+      SELECT {_URL_SQL} AS canonical_url, 0 AS depth
+      FROM documents WHERE doc_id % 2 = 0
+    ), links AS (
+      SELECT 'http://host' || CAST(((doc_id * 3 + 1) % 1000) % 37 AS VARCHAR)
+             || '.example.com/doc/' || CAST((doc_id * 3 + 1) % 1000 AS VARCHAR)
+               AS canonical_url
+      FROM documents WHERE doc_id % 2 = 0
+    ), fresh AS (
+      SELECT DISTINCT canonical_url, 1 AS depth FROM links
+      WHERE canonical_url NOT IN (SELECT canonical_url FROM seeds)
+    )
+    SELECT canonical_url, CAST(depth AS INT) AS depth FROM seeds
+    UNION ALL
+    SELECT canonical_url, CAST(depth AS INT) AS depth FROM fresh
+    """,
+)
+def q_frontier_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 frontier growth, one discovery generation end-to-end: seed
+    frontier ∪ (outlink targets, deduped within the generation AND
+    anti-joined against everything already enqueued) at depth+1 — the
+    exact unionByName/left_anti shape CrawlEngine commits each round
+    (plans/crawl.py discovery block), oracle-gated on the derived URL
+    corpus."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    h = (F.col("doc_id") % 37).cast("string")
+    seeds = d.select(
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("canonical_url"),
+        F.lit(0).cast("int").alias("depth"),
+    )
+    t = (F.col("doc_id") * 3 + 1) % 1000
+    links = d.select(
+        F.concat(
+            F.lit("http://host"), (t % 37).cast("string"),
+            F.lit(".example.com/doc/"), t.cast("string"),
+        ).alias("canonical_url")
+    )
+    fresh = (
+        links.distinct()
+        .join(seeds.select("canonical_url"), "canonical_url", "left_anti")
+        .withColumn("depth", F.lit(1).cast("int"))
+    )
+    return seeds.unionByName(fresh)
+
+
+@_q(
     "link_extract",
     """
     WITH bodies AS (
