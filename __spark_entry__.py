@@ -46,7 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twin per oracle-checkable query; the
-    approximate/custom-sketch queries (ann_lsh, multimodal_features,
-    winnow_fingerprint) are rows-only by design."""
+    """DuckDB-runnable ANSI-SQL twin per registry query — EVERY query in
+    ``queries()`` has an exact value-hash oracle (the formerly rows-only
+    trio ann_lsh / multimodal_features / winnow_fingerprint gained exact
+    oracles in round 2: deterministic planes/codec replayed as SQL
+    literals)."""
     return Q.oracle_sql()

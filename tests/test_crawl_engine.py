@@ -127,6 +127,52 @@ def test_trace_parity_with_crawl_delay_budgets(
     assert engine_seen == sim.seen_urls
 
 
+def test_trace_parity_fractional_crawl_delay(
+    spark, tmp_path, corpus_frames, py_fixtures
+):
+    """Sub-second / decimal crawl delays: both engine and simulator must
+    compute the token budget as floor of the TRUE quotient. (Python's
+    float floor-division diverges: 2.0 // 0.4 == 4.0 but
+    floor(2.0 / 0.4) == 5 — a silent one-task-per-round trace divergence
+    if either side uses //.)"""
+    import math
+
+    seeds_df, pages_df, _ = corpus_frames
+    seeds, pages, _ = py_fixtures
+    delays = [0.4, 0.25, 1.1, 0.4, 2.5, 0.2, 1.3, 0.4, 0.7, 3.0]
+    robots = [
+        {
+            "host": f"host{h}.example.com",
+            "crawl_delay_s": delays[h],
+            "disallow_prefixes": [],
+            "fetched_ts": fx.EPOCH,
+        }
+        for h in range(10)
+    ]
+    # the chosen delays must include a //-vs-floor(/) divergence
+    assert any(
+        int(2.0 // d) != math.floor(2.0 / d) for d in delays
+    )
+    from web_scraper_v1_spark.sources.corpus import ROBOTS_SCHEMA
+
+    robots_df = spark.createDataFrame(robots, ROBOTS_SCHEMA)
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "run_fdelay"),
+        batch_size=20,
+        retry_limit=3,
+        salt_buckets=4,
+        round_duration_s=2.0,
+    )
+    eng.run(seeds_df, pages_df, robots=robots_df)
+    sim = fx.simulate_crawl(
+        seeds, pages, batch_size=20, retry_limit=3, robots=robots,
+        round_duration_s=2.0,
+    )
+    _assert_trace_equal(_trace_df_to_rows(eng.trace()), sim.trace)
+    assert {r.url for r in eng.seen().collect()} == sim.seen_urls
+
+
 def test_trace_parity_mixed_priorities(
     spark, tmp_path, corpus_frames, py_fixtures
 ):
@@ -178,6 +224,48 @@ def test_trace_parity_link_discovery(
     # depth is live: committed frontier rows carry depth >= 1
     depths = {r.depth for r in eng.frontier().collect()}
     assert depths and depths <= {1, 2} and 1 in depths
+
+
+def test_host_bucket_partitioning_prunes_and_preserves_parity(
+    spark, tmp_path, corpus_frames, py_fixtures
+):
+    """host_buckets=B writes seen/processed/frontier snapshots partitioned
+    by pmod(xxhash64(host), B); a per-host read carries a PartitionFilter
+    (prunes to one bucket dir per snapshot instead of a full scan), and
+    the crawl semantics are completely unchanged."""
+    seeds_df, pages_df, _ = corpus_frames
+    seeds, pages, _ = py_fixtures
+    eng = CrawlEngine(
+        spark,
+        str(tmp_path / "run_hb"),
+        batch_size=10,
+        host_budget=2,
+        salt_buckets=4,
+        host_buckets=8,
+    )
+    eng.run(seeds_df, pages_df)
+    sim = fx.simulate_crawl(seeds, pages, batch_size=10, host_budget=2)
+    _assert_trace_equal(_trace_df_to_rows(eng.trace()), sim.trace)
+    assert {r.url for r in eng.seen().collect()} == sim.seen_urls
+
+    # layout: bucket dirs inside each committed snapshot
+    snap = sorted((tmp_path / "run_hb" / "processed").iterdir())[0]
+    assert any(d.name.startswith("host_bucket=") for d in snap.iterdir())
+
+    # pruned per-host read: partition filter present, values exact
+    host = "host0.example.com"
+    df = eng.host_processed(host)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "host_bucket" in pf and "dynamicpruning" not in pf
+    want = {
+        t["url"]
+        for t in sim.trace
+        if t["host"] == host and t["outcome"] in ("fetched", "dropped")
+    }
+    assert {r.url for r in df.collect()} == want
 
 
 def test_resume_with_link_discovery(spark, tmp_path, corpus_frames, py_fixtures):

@@ -75,6 +75,74 @@ def test_ttl_recrawl_refetches_after_expiry(spark, tmp_path, corpus_dir):
     assert 1 not in by_round
 
 
+def test_bloom_generations_keep_fpp_bounded_under_recrawl_churn(spark):
+    """Deletable-filter requirement (north rule 'bloom/cuckoo'): under a
+    long recrawl horizon, TTL-expired keys must actually LEAVE the
+    approximate filter. With rotating generations, at most two window
+    bitmaps are live and older ones are dropped whole, so the bit-fill
+    (hence fpp) stays bounded; a non-rotating filter saturates
+    monotonically."""
+    import numpy as np
+
+    from web_scraper_v1_spark.operators.seen import SeenSet
+
+    ttl = 2
+    rotating = SeenSet(spark, n_bits=1 << 15, use_bloom=True, ttl_rounds=ttl)
+    eternal = SeenSet(spark, n_bits=1 << 15, use_bloom=True)
+
+    def fill(ss):
+        gens = ss._gens.values()
+        bits = sum(
+            int(np.unpackbits(g.bits2d.view(np.uint8)).sum()) for g in gens
+        )
+        words = sum(g.bits2d.size for g in gens)
+        return bits / (words * 64)
+
+    n_rounds, per_round = 12, 1500
+    for r in range(n_rounds):
+        batch = spark.range(r * per_round, (r + 1) * per_round).selectExpr(
+            "xxhash64(concat('u', id)) as url_hash",
+            "concat('u', id) as url",
+        )
+        rotating.expire(r)
+        rotating.add(batch, round_id=r)
+        eternal.add(batch)
+        assert len(rotating._gens) <= 2  # live window spans <= 2 generations
+    # the rotating filter's live bitmaps hold <= 2*ttl rounds of keys
+    # (expected fill 1-exp(-5*3000/32768) ~ 0.37); the eternal one holds
+    # all 12 rounds (~0.94, fpp -> useless)
+    assert fill(rotating) < 0.5
+    assert fill(eternal) > 0.85
+    # zero false negatives: the newest generation contains its rounds' keys
+    recent = spark.range(
+        (n_rounds - 1) * per_round, n_rounds * per_round
+    ).selectExpr("xxhash64(concat('u', id)) as k").toPandas()["k"]
+    last_gen = rotating._gens[max(rotating._gens)]
+    assert last_gen.contains(recent.to_numpy()).all()
+
+
+def test_ttl_recrawl_trace_parity_over_long_horizon(spark, tmp_path, corpus_dir):
+    """Recrawl correctness is unchanged by generation rotation: URLs
+    refetch exactly every ttl rounds across several rotations."""
+    pages = read_pages(spark, corpus_dir)
+    seeds = read_seeds(spark, corpus_dir).limit(4)
+    engine = CrawlEngine(
+        spark,
+        str(tmp_path / "run_ttl_long"),
+        batch_size=100,
+        use_bloom=True,
+        recrawl_after=2,
+    )
+    engine.run(seeds, pages, robots=None, max_rounds=7)
+    fetched = [r for r in engine.trace().collect() if r.outcome == "fetched"]
+    by_round = {}
+    for r in fetched:
+        by_round.setdefault(r.round, set()).add(r.url)
+    # fetches land exactly at rounds 0, 2, 4, 6 (every ttl), same URL set
+    assert sorted(by_round) == [0, 2, 4, 6]
+    assert by_round[2] == by_round[0] == by_round[4] == by_round[6]
+
+
 def test_no_ttl_means_no_refetch(spark, tmp_path, corpus_dir):
     pages = read_pages(spark, corpus_dir)
     seeds = read_seeds(spark, corpus_dir).limit(6)

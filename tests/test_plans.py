@@ -64,7 +64,35 @@ def test_crawl_slice_broadcasts_wave(spark):
     assert "BroadcastHashJoin" in plan
 
 
-def test_anti_join_is_join_not_filter(spark):
+def test_unbounded_wave_is_never_broadcast(spark, tmp_path):
+    """With no politeness budget the selected wave can be the ENTIRE
+    pending frontier — the engine must NOT hint a broadcast of it (a
+    config-dependent OOM at 10^10 URLs). Auto-broadcast is disabled here
+    so any BroadcastExchange in the plan could only come from a hint."""
+    from web_scraper_v1_spark.plans.crawl import CrawlEngine
+
+    wave = spark.range(0, 1000).selectExpr(
+        "concat('https://h', id % 7, '.com/p/', id) as canonical_url",
+        "id as queue_seq",
+    )
+    pages = spark.range(0, 1000).selectExpr(
+        "concat('https://h', id % 7, '.com/p/', id) as canonical_url",
+        "cast(concat('body', id) as binary) as html",
+    )
+    unbounded = CrawlEngine(spark, str(tmp_path / "wj_unbounded"))
+    bounded = CrawlEngine(spark, str(tmp_path / "wj_bounded"), host_budget=3)
+    assert not unbounded.broadcast_wave
+    assert bounded.broadcast_wave
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan_u = plan_of(unbounded._wave_join(pages, wave))
+        plan_b = plan_of(bounded._wave_join(pages, wave))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan_u
+    # the budget-bounded wave is still hint-broadcast (corpus never shuffles)
+    assert "BroadcastHashJoin" in plan_b
     df = Q.queries()["anti_join_seen"](spark, SF)
     plan = plan_of(df)
     assert "LeftAnti" in plan
@@ -77,6 +105,28 @@ def test_embedding_neardup_has_no_cartesian_product(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neardup_verify_join_does_not_force_vector_broadcast(spark):
+    """The near-dup verifier's vector lookups must be size-driven, never
+    hint-broadcast: an unbounded embedding table cannot ship to every
+    executor. With auto-broadcast disabled, any BroadcastExchange left in
+    the plan could only come from a hint."""
+    from web_scraper_v1_spark.operators.similarity import lsh_neardup_pairs
+
+    embs = spark.range(0, 500).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 8), j -> cast(pmod(id * j, 97) as float))"
+        " as embedding",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(lsh_neardup_pairs(embs, dim=8, threshold=0.9))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastExchange" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_global_prefix_sum_has_no_single_partition_stage(spark):

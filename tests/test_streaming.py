@@ -98,3 +98,37 @@ def test_stateful_cumulative_counts(spark, queue_dir, tmp_path):
         "host1.example.com": 10,
         "host2.example.com": 10,
     }
+
+
+def test_stateful_totals_equal_batch_twin(spark, queue_dir, tmp_path):
+    """The stateful operator's final per-host totals must equal the
+    oracle-gated batch twin's last-window totals on the same input (the
+    twin is the ``host_cumulative`` registry query's plan)."""
+    from web_scraper_v1_spark.streaming.results_stream import (
+        cumulative_host_counts_batch,
+    )
+
+    stream = decode_results(read_results_stream(spark, queue_dir))
+    rows = run_to_sink(
+        cumulative_host_counts(stream),
+        str(tmp_path / "ck4"),
+        "state_sink2",
+        output_mode="append",
+    )
+    stream_final: dict[str, int] = {}
+    for r in rows:
+        stream_final[r.host] = max(stream_final.get(r.host, 0), r.total_urls)
+
+    batch_decoded = decode_results(
+        spark.read.text(queue_dir)
+    )
+    twin = cumulative_host_counts_batch(batch_decoded).collect()
+    twin_final: dict[str, int] = {}
+    for r in twin:
+        twin_final[r.host] = max(twin_final.get(r.host, 0), r.total_urls)
+    assert stream_final == twin_final
+    # and the twin's running sums are internally consistent
+    per_host = {}
+    for r in sorted(twin, key=lambda r: (r.host, r.window_start)):
+        per_host[r.host] = per_host.get(r.host, 0) + r.batch_urls
+        assert r.total_urls == per_host[r.host]

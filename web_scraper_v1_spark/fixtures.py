@@ -25,6 +25,7 @@ so fixtures are reproducible across processes and machines.
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -413,7 +414,11 @@ def simulate_crawl(
         if host_budget is not None:
             parts.append(host_budget)
         if round_duration_s is not None and host in delay_map:
-            parts.append(max(1, int(round_duration_s // delay_map[host])))
+            # floor of the TRUE quotient, matching the engine's
+            # F.floor(round_duration_s / crawl_delay_s) (plans/crawl.py):
+            # Python's float floor-division differs from floor(a / b) for
+            # fractional delays (4.0 // 0.1 == 39.0, floor(4.0 / 0.1) == 40)
+            parts.append(max(1, math.floor(round_duration_s / delay_map[host])))
         return min(parts) if parts else None
 
     sim = CrawlSim()

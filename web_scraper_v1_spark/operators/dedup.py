@@ -59,9 +59,40 @@ def _persist(df: DataFrame, fresh: bool = False) -> DataFrame:
 
 
 def release_cached() -> None:
-    """Unpersist every DataFrame cached by the dedup strategies."""
+    """Unpersist every per-strategy DataFrame (signatures, sketches). The
+    shared shingle cache survives — see ``_shingles_cached`` — and is
+    dropped by ``release_all()``."""
     while _PERSISTED:
         _PERSISTED.pop().unpersist()
+
+
+# The (id, shingles, n_shingles) frame is IDENTICAL across the ngram /
+# MinHash / SimHash strategies for the same input: cache it once per
+# (input plan, n) and share it, instead of every strategy re-paying the
+# Arrow shingling pass. (Round 2 scoped the release per strategy, which
+# made each sibling strategy recompute shingles — the +48% simhash_dedup
+# regression in BENCH_r02; round 1 got sharing implicitly from Spark's
+# plan-equality cache reuse.) Bounded: one entry per distinct input plan
+# in the session, each a ~(n_docs x shingles) frame.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _shingles_cached(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    key = (docs.semanticHash(), id_col, text_col, n)
+    df = _SHINGLE_CACHE.get(key)
+    if df is None:
+        df = doc_shingles(docs, id_col, text_col, n).persist()
+        _SHINGLE_CACHE[key] = df
+    return df
+
+
+def release_all() -> None:
+    """Drop every dedup cache including the shared shingle frames."""
+    release_cached()
+    while _SHINGLE_CACHE:
+        _SHINGLE_CACHE.popitem()[1].unpersist()
 
 
 def exact_dedup(
@@ -176,7 +207,8 @@ def ngram_jaccard_pairs(
     and verification touches only true pairs. A true pair is missed only
     if EVERY shared shingle is hot (>max_df docs) — whole-document
     corpus-wide boilerplate."""
-    shingled = _persist(doc_shingles(docs, id_col, text_col, n), fresh=True)
+    release_cached()
+    shingled = _shingles_cached(docs, id_col, text_col, n)
     postings = shingled.select(
         "id", "n_shingles", F.explode("shingles").alias("shingle")
     )
@@ -290,8 +322,8 @@ def minhash_lsh_pairs(
     sizes are the skew concern at 100 TB; identical docs form the only big
     buckets and exact-dedup runs first in the full pipeline."""
     rows_per_band = num_hashes // bands
-    shingled = _persist(doc_shingles(docs, id_col, text_col, n), fresh=True)
-    sigs = _persist(minhash_signatures(shingled, num_hashes))
+    shingled = _shingles_cached(docs, id_col, text_col, n)
+    sigs = _persist(minhash_signatures(shingled, num_hashes), fresh=True)
     band_structs = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.struct(
@@ -355,8 +387,8 @@ def simhash_pairs(
     (Jaccard >= 0.8) share the vast majority of shingle hashes, putting
     their sketches well inside that radius; the exact-Jaccard verification
     then makes precision 1.0."""
-    shingled = _persist(doc_shingles(docs, id_col, text_col, n), fresh=True)
-    sk = _persist(simhash_sketches(shingled))
+    shingled = _shingles_cached(docs, id_col, text_col, n)
+    sk = _persist(simhash_sketches(shingled), fresh=True)
     # 16 bands of 4 bits; shiftrightunsigned-by-column only exists at the
     # SQL layer (the Python builtin requires a literal shift)
     band_structs = F.expr(

@@ -28,9 +28,11 @@ Design for 10^10 URLs:
   a prefilter only — SURVEY.md §7 hard part (c)); candidates that are
   definitely-new (bloom miss) bypass the anti-join shuffle entirely.
 * TTL semantics (in_memory.go:51-61) map to ``seen_round >= r - ttl``
-  filters on the exact table; recrawl policies plug in there. The bloom
-  keeps expired keys (harmless: maybe-seen rows still go through the
-  exact join against the TTL-filtered live set).
+  filters on the exact table; recrawl policies plug in there. Bloom bits
+  for expired keys are deleted via ROTATING GENERATIONS (the north rule's
+  "bloom/cuckoo" deletable-filter requirement — see the SeenSet docstring):
+  the live window spans <= 2 generation bitmaps, older generations are
+  dropped whole, so fpp stays bounded under recrawl churn.
 """
 
 from __future__ import annotations
@@ -96,11 +98,13 @@ class BloomFilter:
 
 
 def _shard_of(keys: np.ndarray, n_shards: int) -> np.ndarray:
-    """shard = key mod S on the unsigned 64-bit view (matches Spark's
-    ``pmod(url_hash, S)`` for the repartition-by-shard path)."""
-    return (np.asarray(keys).astype(np.uint64) % np.uint64(n_shards)).astype(
-        np.int64
-    )
+    """shard = signed pmod(key, S): numpy's ``%`` on int64 with a positive
+    divisor already yields the non-negative remainder, which is exactly
+    Spark's ``pmod(url_hash, S)`` for ANY shard count — so routing
+    candidates with ``repartition(pmod(url_hash, S))`` fetches the same
+    shard this module uses. (The previous uint64-view mod only agreed with
+    pmod for power-of-two S.)"""
+    return np.asarray(keys).astype(np.int64) % np.int64(n_shards)
 
 
 class ShardedBloom:
@@ -238,10 +242,22 @@ def bloom_contains_col(spark, bloom: ShardedBloom, key: Column) -> Column:
 def _contains_col_from_broadcasts(
     bcs: list, n_shards: int, bits_per_shard: int, n_hashes: int, key: Column
 ) -> Column:
-    """Vectorized membership UDF over per-shard broadcasts. Only the
-    shards present in a batch are ``.value``-accessed — Spark's torrent
-    broadcast fetches lazily, so a task whose candidates are repartitioned
-    by ``pmod(url_hash, S)`` pulls exactly one shard."""
+    return _contains_col_multi([bcs], n_shards, bits_per_shard, n_hashes, key)
+
+
+def _contains_col_multi(
+    gen_bcs: list[list],
+    n_shards: int,
+    bits_per_shard: int,
+    n_hashes: int,
+    key: Column,
+) -> Column:
+    """Vectorized membership UDF over per-shard broadcasts, OR'd across
+    bloom GENERATIONS (a key is maybe-seen if any live generation might
+    hold it). Only the shards present in a batch are ``.value``-accessed —
+    Spark's torrent broadcast fetches lazily, so a task whose candidates
+    are repartitioned by ``pmod(url_hash, S)`` pulls exactly one shard per
+    generation."""
 
     @F.pandas_udf("boolean")
     def _contains(keys: pd.Series) -> pd.Series:
@@ -253,8 +269,13 @@ def _contains_col_from_broadcasts(
         bf.n_hashes = n_hashes
         for s in np.unique(shard):
             m = shard == s
-            bf.bits = bcs[int(s)].value
-            out[m] = bf.contains(k[m])
+            hit = np.zeros(int(m.sum()), dtype=bool)
+            for bcs in gen_bcs:
+                if hit.all():
+                    break
+                bf.bits = bcs[int(s)].value
+                hit |= bf.contains(k[m])
+            out[m] = hit
         return pd.Series(out)
 
     return _contains(key)
@@ -267,6 +288,20 @@ class SeenSet:
     ``filter_new(candidates)`` returns candidates not present in the set:
     bloom-miss rows pass through without touching the join; bloom-hit rows
     go through the exact ``left_anti`` on (url_hash, url).
+
+    TTL / recrawl (``ttl_rounds``): a plain Bloom cannot delete, so under a
+    recrawl policy expired keys would accumulate and the fpp would degrade
+    monotonically until the prefilter saves no join work. The deletable
+    analog here is ROTATING GENERATIONS (the rotating-Bloom alternative to
+    a cuckoo filter): generation ``g`` holds the keys of rounds
+    [g*W, (g+1)*W) with W = ttl_rounds. The live window of round ``r``
+    (rounds > r - W) spans at most two generations, so membership ORs <= 2
+    bitmaps and ``expire(r)`` drops every older generation whole — bits
+    for expired keys actually leave the filter, bounding fpp by the keys
+    of <= 2*W rounds forever. A kept generation may still hold some
+    expired keys (intra-generation mixing) — false positives only; the
+    exact TTL-filtered anti-join preserves exactness, and zero false
+    negatives holds per generation by construction.
     """
 
     def __init__(
@@ -276,48 +311,86 @@ class SeenSet:
         n_hashes: int = 5,
         use_bloom: bool = True,
         n_shards: int = 16,
+        ttl_rounds: int | None = None,
     ):
         self.spark = spark
         self.use_bloom = use_bloom
         self.n_shards = n_shards
-        bits_per_shard = max(64, n_bits // n_shards)
-        self.bloom = (
-            ShardedBloom(n_shards, bits_per_shard, n_hashes)
-            if use_bloom
-            else None
-        )
-        # one broadcast per shard, re-published only when the shard changes
-        self._bc: list = [None] * n_shards if use_bloom else []
+        self.n_hashes = n_hashes
+        self.bits_per_shard = max(64, n_bits // n_shards)
+        self.ttl_rounds = ttl_rounds
+        # generation id -> (sharded bloom, per-shard broadcasts)
+        self._gens: dict[int, ShardedBloom] = {}
+        self._gen_bcs: dict[int, list] = {}
         self._seen_df: DataFrame | None = None
         self._nonempty = False
 
-    # -- broadcast lifecycle ----------------------------------------------
-    def _publish(self, changed=None) -> None:
-        for s in range(self.bloom.n_shards):
-            if changed is not None and not changed[s] and self._bc[s] is not None:
-                continue
-            old = self._bc[s]
-            self._bc[s] = self.spark.sparkContext.broadcast(
-                self.bloom.bits2d[s]
+    # -- generations --------------------------------------------------------
+    def _gen_of(self, round_id: int) -> int:
+        return 0 if self.ttl_rounds is None else round_id // self.ttl_rounds
+
+    def _gen_for(self, gen_id: int) -> ShardedBloom:
+        if gen_id not in self._gens:
+            self._gens[gen_id] = ShardedBloom(
+                self.n_shards, self.bits_per_shard, self.n_hashes
             )
+            self._gen_bcs[gen_id] = [None] * self.n_shards
+        return self._gens[gen_id]
+
+    @property
+    def bloom(self) -> ShardedBloom:
+        """Single-generation view (the only generation when no TTL)."""
+        return self._gen_for(min(self._gens, default=0))
+
+    def _drop_gen(self, gen_id: int) -> None:
+        self._gens.pop(gen_id)
+        for bc in self._gen_bcs.pop(gen_id):
+            if bc is not None:
+                bc.unpersist()
+
+    def expire(self, current_round: int) -> None:
+        """Drop generations that can only hold TTL-expired keys (rounds
+        <= current_round - ttl_rounds) — the deletion path that keeps the
+        approximate filter's fpp bounded under recrawl churn."""
+        if self.ttl_rounds is None:
+            return
+        min_live_gen = self._gen_of(max(0, current_round - self.ttl_rounds + 1))
+        for g in [g for g in self._gens if g < min_live_gen]:
+            self._drop_gen(g)
+
+    # -- broadcast lifecycle ----------------------------------------------
+    def _publish(self, gen_id: int, changed=None) -> None:
+        bloom = self._gens[gen_id]
+        bcs = self._gen_bcs[gen_id]
+        for s in range(bloom.n_shards):
+            if changed is not None and not changed[s] and bcs[s] is not None:
+                continue
+            old = bcs[s]
+            bcs[s] = self.spark.sparkContext.broadcast(bloom.bits2d[s])
             if old is not None:
                 old.unpersist()
 
     # -- state -------------------------------------------------------------
-    def load(self, seen_df: DataFrame) -> None:
+    def load(self, seen_df: DataFrame, round_id: int = 0) -> None:
         """(Re)load the exact set, e.g. on resume; rebuilds the bloom
-        distributed (treeAggregate of per-partition shard blocks)."""
+        distributed (treeAggregate of per-partition shard blocks). All
+        loaded keys land in ``round_id``'s generation — with a TTL this
+        keeps them up to one window longer than their true expiry
+        (false-positive-only, conservative)."""
+        for g in list(self._gens):
+            self._drop_gen(g)
         self._seen_df = seen_df
         self._nonempty = bool(seen_df.take(1))
         if self.use_bloom and self._nonempty:
-            self.bloom.bits2d = build_sharded_bits(
+            g = self._gen_of(round_id)
+            self._gen_for(g).bits2d = build_sharded_bits(
                 seen_df,
                 "url_hash",
-                self.bloom.n_shards,
-                self.bloom.bits_per_shard,
-                self.bloom.n_hashes,
+                self.n_shards,
+                self.bits_per_shard,
+                self.n_hashes,
             )
-            self._publish()
+            self._publish(g)
 
     def set_exact(self, seen_df: DataFrame) -> None:
         """Swap the exact side (e.g. to a freshly committed snapshot read)
@@ -326,11 +399,12 @@ class SeenSet:
         self._seen_df = seen_df
         self._nonempty = bool(seen_df.take(1))
 
-    def add(self, new_df: DataFrame) -> None:
+    def add(self, new_df: DataFrame, round_id: int = 0) -> None:
         """Register newly seen rows (url_hash, url). The exact table is the
         caller's snapshot append; here we fold the round's hashes into the
-        bloom (distributed build over the politeness-bounded round, driver
-        OR-merge) and re-broadcast ONLY the shards that changed."""
+        round's bloom generation (distributed build over the politeness-
+        bounded round, driver OR-merge) and re-broadcast ONLY the shards
+        that changed."""
         self._seen_df = (
             new_df.select("url_hash", "url")
             if self._seen_df is None
@@ -340,27 +414,34 @@ class SeenSet:
         )
         self._nonempty = True
         if self.use_bloom:
+            g = self._gen_of(round_id)
+            bloom = self._gen_for(g)
             round_bits = build_sharded_bits(
                 new_df,
                 "url_hash",
-                self.bloom.n_shards,
-                self.bloom.bits_per_shard,
-                self.bloom.n_hashes,
+                self.n_shards,
+                self.bits_per_shard,
+                self.n_hashes,
             )
-            changed = self.bloom.merge_bits(round_bits)
-            self._publish(changed)
+            changed = bloom.merge_bits(round_bits)
+            self._publish(g, changed)
 
     def filter_new(self, candidates: DataFrame) -> DataFrame:
         if self._seen_df is None or not self._nonempty:
             return candidates
         seen = self._seen_df.select("url_hash", "url")
-        if not self.use_bloom:
+        gen_bcs = [
+            self._gen_bcs[g]
+            for g in sorted(self._gens)
+            if self._gen_bcs[g][0] is not None
+        ]
+        if not self.use_bloom or not gen_bcs:
             return candidates.join(seen, ["url_hash", "url"], "left_anti")
-        maybe_flag = _contains_col_from_broadcasts(
-            self._bc,
-            self.bloom.n_shards,
-            self.bloom.bits_per_shard,
-            self.bloom.n_hashes,
+        maybe_flag = _contains_col_multi(
+            gen_bcs,
+            self.n_shards,
+            self.bits_per_shard,
+            self.n_hashes,
             F.col("url_hash"),
         )
         flagged = candidates.withColumn("_maybe_seen", maybe_flag)

@@ -213,16 +213,20 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # vector lookup sides are one row per VECTOR (not per pair) — broadcast
-    # them so the (potentially huge) candidate-pair set never shuffles to
-    # meet the vectors; at 10^10 vectors this becomes a bucketed join on
-    # id ranges, but the pair set still never carries vector payloads
+    # vector lookup sides are one row per VECTOR (not per pair), and are
+    # deliberately NOT hint-broadcast: an unbounded embedding table (10^8+
+    # rows x 64 doubles) cannot ship to every executor. These are plain
+    # equi-joins on id — Spark's cost-based broadcast threshold picks
+    # broadcast-hash automatically when the vector relation's statistics
+    # are small (the sandbox corpus), and AQE falls back to a shuffle join
+    # (skew-aware) when they are not; candidates carry only (id_a, id_b)
+    # into the exchanges, never vector payloads.
     base = sigs.select("id", "v")
     a = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
     b = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     return (
-        candidates.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             # Arrow fold kernel (bit-identical to the JVM aggregate fold);
             # rounding stays JVM-side so oracle semantics are untouched

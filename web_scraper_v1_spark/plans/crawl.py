@@ -152,6 +152,8 @@ class CrawlEngine:
         round_duration_s: float | None = None,
         discover_links: bool = False,
         max_depth: int | None = None,
+        broadcast_wave: bool | None = None,
+        host_buckets: int | None = None,
     ):
         self.spark = spark
         self.store = SnapshotStore(run_dir)
@@ -163,9 +165,11 @@ class CrawlEngine:
         # TTL semantics (in_memory.go:51-61): a processed URL older than
         # ``recrawl_after`` rounds expires from the live seen view, so it
         # re-enters pending and is refetched — the engine's recrawl policy.
-        # The Bloom keeps expired keys (harmless: maybe-seen rows go
-        # through the exact join against the TTL-filtered live set, so
-        # exactness is preserved).
+        # The Bloom rotates per-window GENERATIONS under this policy
+        # (operators/seen.py): expired rounds' bits are dropped with their
+        # generation, so the prefilter's fpp stays bounded over an
+        # arbitrarily long recrawl horizon; exactness is preserved by the
+        # exact join against the TTL-filtered live set either way.
         self.recrawl_after = recrawl_after
         # North-rule crawl-delay token buckets: when set, each host's
         # per-round budget is max(1, floor(round_duration_s /
@@ -177,8 +181,32 @@ class CrawlEngine:
         # next-round tasks at depth+1; ``max_depth`` bounds the expansion.
         self.discover_links = discover_links
         self.max_depth = max_depth
+        # Wave-join strategy (SURVEY.md §2 O7). The wave side of the
+        # fetch-join is broadcast ONLY when a politeness budget provably
+        # bounds it: with ``host_budget=k`` the wave is <= k rows per host.
+        # With no budget the wave can be the ENTIRE pending frontier
+        # (per_host_topk selects everything) — broadcasting that is a
+        # driver/executor OOM at 10^10 URLs, so the unbounded config uses a
+        # shuffle equi-join instead (the skinny-join shape of
+        # plans/throughput.py; Spark's runtime bloom-filter join prunes the
+        # corpus scan from the wave side). ``broadcast_wave`` overrides the
+        # auto choice — a real deployment would also compare
+        # k * n_distinct_hosts against the broadcast threshold.
+        if broadcast_wave is None:
+            broadcast_wave = host_budget is not None
+        self.broadcast_wave = broadcast_wave
+        # Host-bucket partitioning (north rule: partitioning handled
+        # explicitly): when set, the seen/processed/frontier snapshots are
+        # written partitionBy(host_bucket = pmod(xxhash64(host), B)), so a
+        # per-host reader (host_processed) prunes to 1/B of each snapshot's
+        # files instead of full-scanning the table — at 10^10 URLs the
+        # difference between listing one bucket directory and 10^10 rows.
+        self.host_buckets = host_buckets
         self.processed_set = SeenSet(
-            spark, n_bits=bloom_bits, use_bloom=use_bloom
+            spark,
+            n_bits=bloom_bits,
+            use_bloom=use_bloom,
+            ttl_rounds=recrawl_after,
         )
 
     # -- state ------------------------------------------------------------
@@ -191,22 +219,61 @@ class CrawlEngine:
         last = max(rounds, key=lambda m: m["round"])
         return last["round"] + 1, last["seq_end"] + 1, last.get("next_queue_seq")
 
+    # seen/processed/frontier are host-bucket-partitioned when
+    # self.host_buckets is set; general readers drop the partition column,
+    # per-host readers (host_processed) prune on it instead
+    def _bucket_expr(self, host_col):
+        return F.pmod(F.xxhash64(host_col), F.lit(self.host_buckets)).cast(
+            "int"
+        )
+
+    def _bucketed_schema(self, schema: T.StructType) -> T.StructType:
+        return T.StructType(
+            list(schema.fields)
+            + [T.StructField("host_bucket", T.IntegerType(), True)]
+        )
+
+    def _read_bucketed(self, table: str, schema: T.StructType) -> DataFrame:
+        if not self.host_buckets:
+            return self.store.read(self.spark, table, schema)
+        return self.store.read(
+            self.spark, table, self._bucketed_schema(schema)
+        ).drop("host_bucket")
+
     def trace(self) -> DataFrame:
         return self.store.read(self.spark, "trace", TRACE_SCHEMA)
 
     def seen(self) -> DataFrame:
-        return self.store.read(self.spark, "seen", SEEN_SCHEMA)
+        return self._read_bucketed("seen", SEEN_SCHEMA)
 
     def results(self) -> DataFrame:
         return self.store.read(self.spark, "results", RESULTS_SCHEMA)
 
     def processed(self) -> DataFrame:
-        return self.store.read(self.spark, "processed", PROCESSED_SCHEMA)
+        return self._read_bucketed("processed", PROCESSED_SCHEMA)
+
+    def host_processed(self, host: str) -> DataFrame:
+        """Per-host processed history WITHOUT a full table scan: the
+        host_bucket partition filter (constant-folded from the literal
+        host) prunes the read to one bucket directory per snapshot; the
+        exact host equality then filters within the bucket. Falls back to
+        a plain filtered scan when bucketing is off."""
+        if not self.host_buckets:
+            df = self.store.read(self.spark, "processed", PROCESSED_SCHEMA)
+            return df.filter(U.host(F.col("url")) == host)
+        df = self.store.read(
+            self.spark, "processed", self._bucketed_schema(PROCESSED_SCHEMA)
+        )
+        return (
+            df.filter(F.col("host_bucket") == self._bucket_expr(F.lit(host)))
+            .filter(U.host(F.col("url")) == host)
+            .drop("host_bucket")
+        )
 
     def frontier(self) -> DataFrame:
         """Committed DISCOVERED frontier rows (seed rows are re-derived
         from the seeds input each run)."""
-        return self.store.read(self.spark, "frontier", FRONTIER_SCHEMA)
+        return self._read_bucketed("frontier", FRONTIER_SCHEMA)
 
     def _processed_live(self, r: int) -> DataFrame:
         """The seen view effective for round ``r``: everything processed,
@@ -249,7 +316,9 @@ class CrawlEngine:
             m = self.frontier().agg(F.max("arrival_round")).collect()[0][0]
             if m is not None:
                 max_arrival = max(max_arrival, m)
-        self.processed_set.load(self._processed_live(next_round))
+        self.processed_set.load(
+            self._processed_live(next_round), round_id=next_round
+        )
 
         stats: list[RoundStats] = []
         r = next_round
@@ -258,8 +327,10 @@ class CrawlEngine:
                 # refresh the exact seen side for THIS round from committed
                 # snapshots (keeps the logical plan flat across rounds, and
                 # applies TTL expiry even across empty rounds); the bloom is
-                # maintained incrementally inside _run_round
+                # maintained incrementally inside _run_round, and expired
+                # generations are dropped here (deletable-filter path)
                 self.processed_set.set_exact(self._processed_live(r))
+                self.processed_set.expire(r)
             enqueued_all = prepared
             if self.discover_links:
                 enqueued_all = prepared.unionByName(self.frontier())
@@ -290,6 +361,13 @@ class CrawlEngine:
             r += 1
         prepared.unpersist()
         return stats
+
+    def _wave_join(self, pages_prepared: DataFrame, selected: DataFrame) -> DataFrame:
+        """The fetch join (O7): wave side broadcast only when
+        ``self.broadcast_wave`` (see __init__); otherwise a shuffle
+        equi-join on canonical_url."""
+        wave = F.broadcast(selected) if self.broadcast_wave else selected
+        return pages_prepared.join(wave, "canonical_url", "inner")
 
     def _run_round(
         self,
@@ -332,59 +410,59 @@ class CrawlEngine:
         deferred_rows = ranked.filter(~F.col("selected"))
         blocked = checked.filter(F.col("robots_blocked"))
 
-        # -- fetch = join wave against the corpus. The wave is politeness-
-        # bounded (small); broadcast it so the 100 TB corpus never shuffles:
-        # an inner broadcast-hash join finds hits, misses come from a
-        # broadcast anti-join of the wave against the hit keys. (Built
-        # unconditionally — an empty wave broadcasts an empty relation;
-        # the round's one accounting aggregation below decides emptiness.)
-        hits = pages_prepared.join(
-            F.broadcast(selected), "canonical_url", "inner"
+        # -- fetch = join wave against the corpus. When a host budget
+        # provably bounds the wave (self.broadcast_wave), broadcast it so
+        # the 100 TB corpus never shuffles: an inner broadcast-hash join
+        # finds hits, misses come from a broadcast anti-join of the wave
+        # against the hit keys. With NO budget the wave can be the whole
+        # pending frontier — unbroadcastable at 10^10 URLs — so both joins
+        # fall back to shuffle equi-joins on canonical_url (the runtime
+        # bloom-filter join injected from the wave side prunes the corpus
+        # scan; AQE picks the physical strategy from runtime sizes).
+        hits = self._wave_join(pages_prepared, selected)
+        parsed = hits.withColumn(
+            "r", extract_receiver_response(F.col("html"))
+        ).select(
+            "queue_seq",
+            "priority",
+            "depth",
+            "canonical_url",
+            "url_hash",
+            "host",
+            "page_bytes",
+            # outlink discovery source: JVM-side regex over the body
+            # (link lines are ignored by the byte-parity extractor);
+            # skipped entirely when discovery is off
+            (
+                F.regexp_extract_all(
+                    F.decode("html", "UTF-8"), F.lit(LINK_LINE_RX), 1
+                )
+                if self.discover_links
+                else F.array().cast("array<string>")
+            ).alias("outlinks"),
+            F.col("r.user_agent").alias("user_agent"),
+            F.col("r.ip_address").alias("ip_address"),
+            F.col("r.forwarded_host").alias("forwarded_host"),
+            F.col("r.parse_error").alias("parse_error"),
+        ).cache()
+        hit_keys = parsed.select("canonical_url")
+        misses = selected.join(
+            F.broadcast(hit_keys) if self.broadcast_wave else hit_keys,
+            "canonical_url",
+            "left_anti",
+        ).select(
+            "queue_seq",
+            "priority",
+            "canonical_url",
+            "url_hash",
+            "host",
+            F.lit(None).cast("long").alias("page_bytes"),
+            F.lit(None).cast("string").alias("user_agent"),
+            F.lit(None).cast("string").alias("ip_address"),
+            F.lit(None).cast("string").alias("forwarded_host"),
+            F.lit(True).alias("parse_error"),
         )
-        if hits is not None:
-            parsed = hits.withColumn(
-                "r", extract_receiver_response(F.col("html"))
-            ).select(
-                "queue_seq",
-                "priority",
-                "depth",
-                "canonical_url",
-                "url_hash",
-                "host",
-                "page_bytes",
-                # outlink discovery source: JVM-side regex over the body
-                # (link lines are ignored by the byte-parity extractor);
-                # skipped entirely when discovery is off
-                (
-                    F.regexp_extract_all(
-                        F.decode("html", "UTF-8"), F.lit(LINK_LINE_RX), 1
-                    )
-                    if self.discover_links
-                    else F.array().cast("array<string>")
-                ).alias("outlinks"),
-                F.col("r.user_agent").alias("user_agent"),
-                F.col("r.ip_address").alias("ip_address"),
-                F.col("r.forwarded_host").alias("forwarded_host"),
-                F.col("r.parse_error").alias("parse_error"),
-            ).cache()
-            hit_keys = parsed.select("canonical_url")
-            misses = selected.join(
-                F.broadcast(hit_keys), "canonical_url", "left_anti"
-            ).select(
-                "queue_seq",
-                "priority",
-                "canonical_url",
-                "url_hash",
-                "host",
-                F.lit(None).cast("long").alias("page_bytes"),
-                F.lit(None).cast("string").alias("user_agent"),
-                F.lit(None).cast("string").alias("ip_address"),
-                F.lit(None).cast("string").alias("forwarded_host"),
-                F.lit(True).alias("parse_error"),
-            )
-            fetch_rows = parsed.drop("depth", "outlinks").unionByName(misses)
-        else:
-            fetch_rows = None
+        fetch_rows = parsed.drop("depth", "outlinks").unionByName(misses)
 
         # -- task rows: one per finalized task, with its attempt count.
         # fetch-or-parse failure => retried then dropped (deterministic
@@ -402,20 +480,18 @@ class CrawlEngine:
             "forwarded_host",
             "page_bytes",
         ]
-        parts = []
-        if fetch_rows is not None:
-            ok = ~F.col("parse_error")
-            parts.append(
-                fetch_rows.withColumn(
-                    "outcome_kind",
-                    F.when(ok, F.lit("fetched")).otherwise(F.lit("failing")),
-                )
-                .withColumn(
-                    "n_attempts",
-                    F.when(ok, F.lit(1)).otherwise(F.lit(self.retry_limit)),
-                )
-                .select(*common)
+        ok = ~F.col("parse_error")
+        fetched_rows = (
+            fetch_rows.withColumn(
+                "outcome_kind",
+                F.when(ok, F.lit("fetched")).otherwise(F.lit("failing")),
             )
+            .withColumn(
+                "n_attempts",
+                F.when(ok, F.lit(1)).otherwise(F.lit(self.retry_limit)),
+            )
+            .select(*common)
+        )
         blocked_rows = blocked.select(
             "queue_seq",
             "priority",
@@ -429,11 +505,7 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("forwarded_host"),
             F.lit(None).cast("long").alias("page_bytes"),
         )
-        parts.append(blocked_rows)
-        task_rows = parts[0]
-        for p in parts[1:]:
-            task_rows = task_rows.unionByName(p)
-        task_rows = task_rows.cache()
+        task_rows = fetched_rows.unionByName(blocked_rows).cache()
 
         # -- ONE accounting aggregation per round: outcome counts, attempt
         # and byte sums, per-partition histogram, and the deferred count
@@ -480,8 +552,7 @@ class CrawlEngine:
         n_tasks = n_fetched + n_dropped + n_blocked
         if n_tasks == 0:
             selected.unpersist()
-            if fetch_rows is not None:
-                parsed.unpersist()
+            parsed.unpersist()
             task_rows.unpersist()
             return None
 
@@ -564,7 +635,7 @@ class CrawlEngine:
         # by the same scalable prefix-sum as the trace.
         n_discovered = 0
         frontier_add = None
-        if self.discover_links and fetch_rows is not None:
+        if self.discover_links:
             cand = parsed.filter(~F.col("parse_error")).select(
                 F.col("priority").alias("parent_prio"),
                 F.col("queue_seq").alias("parent_seq"),
@@ -615,17 +686,29 @@ class CrawlEngine:
             ).cache()
             n_discovered = frontier_add.count()
 
-        # -- write snapshots (invisible until the manifest commit below)
+        # -- write snapshots (invisible until the manifest commit below);
+        # seen/processed/frontier are host-bucket-partitioned when enabled
+        def _write(df, table, host_expr=None):
+            if self.host_buckets and host_expr is not None:
+                return self.store.write_snapshot(
+                    df.withColumn("host_bucket", self._bucket_expr(host_expr)),
+                    table,
+                    r,
+                    partition_by="host_bucket",
+                )
+            return self.store.write_snapshot(df, table, r)
+
+        url_host = U.host(F.col("url"))
         tables = {
-            "trace": self.store.write_snapshot(trace_df, "trace", r),
-            "processed": self.store.write_snapshot(processed_df, "processed", r),
+            "trace": _write(trace_df, "trace"),
+            "processed": _write(processed_df, "processed", url_host),
         }
         if n_fetched:
-            tables["seen"] = self.store.write_snapshot(seen_df, "seen", r)
-            tables["results"] = self.store.write_snapshot(results_df, "results", r)
+            tables["seen"] = _write(seen_df, "seen", url_host)
+            tables["results"] = _write(results_df, "results")
         if n_discovered:
-            tables["frontier"] = self.store.write_snapshot(
-                frontier_add, "frontier", r
+            tables["frontier"] = _write(
+                frontier_add, "frontier", F.col("host")
             )
 
         st = RoundStats(
@@ -662,13 +745,12 @@ class CrawlEngine:
                 "partition_histogram": part_hist,
             },
         )
-        # fold the round's finalized keys into the bloom (distributed build
-        # over the bounded wave, driver-side OR-merge)
-        self.processed_set.add(processed_df)
+        # fold the round's finalized keys into the round's bloom generation
+        # (distributed build over the bounded wave, driver-side OR-merge)
+        self.processed_set.add(processed_df, round_id=r)
 
         selected.unpersist()
-        if fetch_rows is not None:
-            parsed.unpersist()
+        parsed.unpersist()
         if frontier_add is not None:
             frontier_add.unpersist()
         task_rows.unpersist()

@@ -880,6 +880,52 @@ def q_host_rate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "host_cumulative",
+    """
+    WITH per AS (
+      SELECT time_bucket(INTERVAL '1 minute',
+                         TIMESTAMP '2024-12-07 00:00:00'
+                         + doc_id * INTERVAL '1 second') AS window_start,
+             'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS host,
+             COUNT(*) AS batch_urls
+      FROM documents
+      GROUP BY 1, 2
+    )
+    SELECT window_start, host, batch_urls,
+           CAST(SUM(batch_urls) OVER (
+                  PARTITION BY host ORDER BY window_start
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS total_urls
+    FROM per
+    """,
+)
+def q_host_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated batch twin of the custom stateful streaming operator
+    ``cumulative_host_counts`` (applyInPandasWithState, O16's per-key
+    mutable state as managed stream state): each event-time window is one
+    micro-batch, rows carry (batch_urls, per-host cumulative total_urls).
+    The streaming execution of the stateful op itself is pytest-gated
+    (tests/test_streaming.py asserts its totals equal this twin's)."""
+    from web_scraper_v1_spark.streaming.results_stream import (
+        cumulative_host_counts_batch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 37).cast("string")
+    decoded = d.select(
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/doc/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (
+            F.lit("2024-12-07 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("fetch_ts"),
+    )
+    return cumulative_host_counts_batch(decoded)
+
+
+@_q(
     "frontier_growth",
     f"""
     WITH seeds AS (

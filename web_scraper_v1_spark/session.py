@@ -45,12 +45,16 @@ def ship_package(spark: SparkSession) -> None:
         return
     try:
         sc.addPyFile(_package_zip())
-    except Exception as ex:  # re-adding the same archive is benign; anything
-        # else must be visible — a silent failure here surfaces later as
+    except Exception as ex:
+        # re-adding the same archive is the one benign failure; anything
+        # else stays un-marked so the next call retries, and is loudly
+        # visible — a silent failure here surfaces later as
         # ModuleNotFoundError inside Python workers
-        import sys
+        if "already" not in str(ex).lower():
+            import sys
 
-        print(f"ship_package: addPyFile failed: {ex!r}", file=sys.stderr)
+            print(f"ship_package: addPyFile failed: {ex!r}", file=sys.stderr)
+            return
     sc._wsv1_shipped = True
 
 
@@ -78,6 +82,9 @@ def build_session(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # prunes the corpus scan from the wave side when the fetch join
+        # runs as a shuffle join (unbounded-wave config, plans/crawl.py)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,139 @@
+"""Live-fetch seam: pooled HTTP GET inside ``mapInPandas`` — the
+real-network variant of the sandbox's fetch-as-join (SURVEY.md §2 O7).
+
+Reference semantics reproduced from JobProcessor.fetchData
+(/root/reference/internal/processor/job_processor.go:111-134):
+
+* GET with a per-row ``User-Agent`` header (job_processor.go:117-118);
+* ``status != 200`` is a fetch failure (job_processor.go:130-132): the row
+  comes back with ``html`` null and the status recorded, so the engine's
+  retry column logic (O6) can consume it exactly like a sandbox join miss;
+* the body bytes pass through untouched — downstream parsing is the same
+  vectorized extraction UDF, so live-fetched pages are byte-identical to
+  corpus-joined ones (pytest-gated against a loopback port of the
+  reference receiver, cmd/receiver/main.go:21-64).
+
+The reference borrows a pooled client per fetch (internal/tor/
+tor_pool.go:40-169 via facade.go:46-60). The Spark analog is an
+EXECUTOR-LOCAL connection pool: a module-global dict of keep-alive
+``http.client`` connections keyed by (host, port), reused across Arrow
+batches for the lifetime of the Python worker process (worker reuse keeps
+it warm across jobs) — this is the concrete seam SURVEY.md §2 maps O19
+("connection pooling") onto. Rows move in Arrow batches; the only
+per-element Python is the I/O call itself, which no vectorization can
+remove. A stale keep-alive connection is recycled once per fetch (the
+pool's recycle path, tor_pool.go:129-143).
+
+SOCKS5/Tor proxying and identity rotation stay control plane (O18/O21): a
+proxy would wrap ``_connection`` here, and identity epochs rotate between
+rounds in the driver loop (plans/crawl.py), never inside a task.
+"""
+
+from __future__ import annotations
+
+import http.client
+from typing import Iterator
+from urllib.parse import urlsplit
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+FETCH_SCHEMA = "canonical_url string, status int, html binary"
+
+# executor-local (per Python worker process) keep-alive connection pool
+_POOL: dict[tuple[str, int], http.client.HTTPConnection] = {}
+
+
+def _connection(
+    host: str, port: int, timeout: float
+) -> http.client.HTTPConnection:
+    key = (host, port)
+    conn = _POOL.get(key)
+    if conn is None:
+        conn = http.client.HTTPConnection(host, port, timeout=timeout)
+        _POOL[key] = conn
+    return conn
+
+
+def _drop_connection(host: str, port: int) -> None:
+    conn = _POOL.pop((host, port), None)
+    if conn is not None:
+        try:
+            conn.close()
+        except Exception:
+            pass
+
+
+def _fetch_one(url: str, user_agent: str, timeout: float) -> tuple[int, bytes | None]:
+    """One GET through the pooled connection. Returns (status, body) with
+    body None unless status == 200 (job_processor.go:130-132). Status -1
+    marks a transport error (connection refused / timeout / bad URL) —
+    the live analog of the sandbox join miss."""
+    try:
+        parts = urlsplit(url)
+        host = parts.hostname
+        if host is None or parts.scheme != "http":
+            return -1, None
+        port = parts.port or 80
+        target = parts.path or "/"
+        if parts.query:
+            target += "?" + parts.query
+    except ValueError:
+        return -1, None
+    # Send the UA as raw UTF-8 BYTES: http.client encodes str header
+    # values as latin-1, which rejects the reference UA template's
+    # Cyrillic look-alike codepoints (chrome.go:73 'Mоzillа'); the Go
+    # client ships the raw bytes (job_processor.go:117-118), so we do too
+    # (putheader passes bytes through unencoded).
+    headers = {"User-Agent": user_agent.encode("utf-8"), "Accept": "*/*"}
+    for attempt in (0, 1):  # one recycle for a stale keep-alive connection
+        conn = _connection(host, port, timeout)
+        try:
+            conn.request("GET", target, headers=headers)
+            resp = conn.getresponse()
+            body = resp.read()
+        except Exception:
+            _drop_connection(host, port)
+            if attempt:
+                return -1, None
+            continue
+        if resp.status != 200:
+            return resp.status, None
+        return 200, bytes(body)
+    return -1, None
+
+
+def live_fetch(
+    frontier: DataFrame,
+    url_col: str = "canonical_url",
+    ua_col: str = "user_agent",
+    timeout: float = 30.0,
+) -> DataFrame:
+    """Fetch every frontier row's URL over live HTTP; returns
+    (canonical_url, status, html) with html null on any non-200/transport
+    failure. Partition-parallel: each Spark task streams its Arrow batches
+    through the worker's pooled connections; per-host politeness is the
+    wave selector's job upstream (per_host_topk bounds how many URLs of
+    one host are in flight in a round)."""
+
+    def _fetch_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls = pdf[url_col].tolist()
+            uas = pdf[ua_col].tolist()
+            statuses = []
+            bodies = []
+            for url, ua in zip(urls, uas):
+                status, body = _fetch_one(url, ua or "", timeout)
+                statuses.append(status)
+                bodies.append(body)
+            yield pd.DataFrame(
+                {
+                    "canonical_url": urls,
+                    "status": pd.array(statuses, dtype="int32"),
+                    "html": bodies,
+                }
+            )
+
+    return frontier.mapInPandas(_fetch_batches, FETCH_SCHEMA)

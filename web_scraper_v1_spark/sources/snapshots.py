@@ -23,9 +23,11 @@ exactly-once batch commits). A crash mid-round leaves orphan dirs that are
 never referenced by the manifest and are ignored (and cleaned) on resume.
 
 At 10^10-URL scale each table is additionally hash-partitioned by
-``host_bucket`` inside a snapshot (writers use ``partitionBy``), and a
-compaction job folds old snapshots; both are orthogonal to the commit
-protocol here.
+``host_bucket`` inside a snapshot: ``write_snapshot(partition_by=
+"host_bucket")`` lays files out as ``round=R/host_bucket=B/*.parquet`` and
+per-host readers prune to one bucket directory (CrawlEngine.host_processed —
+partition filters asserted in tests/test_plans.py). A compaction job folds
+old snapshots; both are orthogonal to the commit protocol here.
 """
 
 from __future__ import annotations
@@ -49,8 +51,10 @@ class SnapshotStore:
     def _load(self) -> dict:
         if os.path.exists(self.manifest_path):
             with open(self.manifest_path) as fh:
-                return json.load(fh)
-        return {"tables": {}, "rounds": []}
+                m = json.load(fh)
+                m.setdefault("partitioned", {})
+                return m
+        return {"tables": {}, "rounds": [], "partitioned": {}}
 
     def _commit_manifest(self) -> None:
         tmp = self.manifest_path + ".tmp"
@@ -64,13 +68,29 @@ class SnapshotStore:
     def snapshot_dir(self, table: str, round_id: int) -> str:
         return os.path.join(self.run_dir, table, f"round={round_id:08d}")
 
-    def write_snapshot(self, df: DataFrame, table: str, round_id: int) -> str:
+    def write_snapshot(
+        self,
+        df: DataFrame,
+        table: str,
+        round_id: int,
+        partition_by: str | None = None,
+    ) -> str:
         """Write one snapshot dir; NOT visible to readers until
-        ``commit_round`` lands the manifest."""
+        ``commit_round`` lands the manifest. ``partition_by`` hash-buckets
+        the snapshot's files by that column (host_bucket at scale) so
+        per-bucket readers prune whole directories."""
         path = self.snapshot_dir(table, round_id)
         if os.path.exists(path):  # orphan from a crashed attempt
             shutil.rmtree(path)
-        df.write.mode("overwrite").parquet(path)
+        writer = df.write.mode("overwrite")
+        if partition_by is not None:
+            writer = writer.partitionBy(partition_by)
+            # remembered (and committed with the round) so readers union
+            # the snapshot dirs instead of a single multi-root read: roots
+            # named round=N with partition subdirs beneath them trip
+            # Spark's conflicting-directory-structure detection
+            self._manifest["partitioned"][table] = partition_by
+        writer.parquet(path)
         return path
 
     def commit_round(self, round_id: int, tables: dict[str, str], meta: dict) -> None:
@@ -88,7 +108,16 @@ class SnapshotStore:
         paths = self.committed_paths(table)
         if not paths:
             return spark.createDataFrame([], schema)
-        return spark.read.schema(schema).parquet(*paths)
+        if table not in self._manifest["partitioned"]:
+            return spark.read.schema(schema).parquet(*paths)
+        # partitioned snapshots: one relation per snapshot dir, unioned —
+        # each scan keeps its own partition discovery (and pruning); the
+        # union width is bounded by compaction at scale
+        dfs = [spark.read.schema(schema).parquet(p) for p in paths]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
 
     def rounds(self) -> list[dict]:
         return list(self._manifest["rounds"])
@@ -120,13 +149,20 @@ class SnapshotStore:
         paths = self.committed_paths(table)
         if len(paths) <= 1:
             return None
-        df = spark.read.schema(schema).parquet(*paths)
+        # self.read handles partitioned snapshot layouts (per-dir union);
+        # for those, ``schema`` must include the partition column and the
+        # compacted dir keeps the same partitioning
+        df = self.read(spark, table, schema)
         dest = os.path.join(
             self.run_dir, table, f"compacted={len(self._manifest['rounds']):08d}"
         )
         if os.path.exists(dest):
             shutil.rmtree(dest)
-        df.write.mode("overwrite").parquet(dest)
+        writer = df.write.mode("overwrite")
+        pcol = self._manifest["partitioned"].get(table)
+        if pcol is not None:
+            writer = writer.partitionBy(pcol)
+        writer.parquet(dest)
         self._manifest["tables"][table] = [dest]
         self._commit_manifest()
         if delete_now:

@@ -30,7 +30,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -143,6 +143,39 @@ def cumulative_host_counts(decoded: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+def cumulative_host_counts_batch(
+    decoded: DataFrame, window_duration: str = "1 minute"
+) -> DataFrame:
+    """Batch twin of ``cumulative_host_counts`` with the micro-batch axis
+    made explicit: each event-time window is one "batch", and every
+    (window, host) row carries that batch's count plus the per-host
+    cumulative total THROUGH it — exactly the (host, batch_urls,
+    total_urls) contract the stateful operator emits per micro-batch (its
+    GroupState total after batch k == this row's total_urls at window k).
+    Pure window machinery: per-host partitions, running sum — no
+    SinglePartition stage, scale-safe; oracle-gated as the
+    ``host_cumulative`` registry query."""
+    host = F.substring_index(
+        F.substring_index("url", "://", -1), "/", 1
+    ).alias("host")
+    per_batch = (
+        decoded.groupBy(F.window("fetch_ts", window_duration).alias("w"), host)
+        .agg(F.count("*").alias("batch_urls"))
+        .select(F.col("w.start").alias("window_start"), "host", "batch_urls")
+    )
+    running = F.sum("batch_urls").over(
+        Window.partitionBy("host")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_batch.select(
+        "window_start",
+        "host",
+        "batch_urls",
+        running.cast("long").alias("total_urls"),
     )
 
 
