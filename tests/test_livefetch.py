@@ -147,6 +147,105 @@ def test_live_fetched_bodies_parse_byte_identically(spark, receiver):
         assert row.text == "\n".join(ref), row.canonical_url
 
 
+def test_crawl_engine_live_mode_trace_parity(spark, tmp_path):
+    """O7 end-to-end in LIVE mode: the engine crawls over real HTTP (the
+    fetcher seam serving fixture page bodies from a loopback server) and
+    reproduces the exact golden trace, seen set, and byte-identical
+    extracted text that the fetch-as-join mode produces — fetch failures
+    (404) retry-then-drop exactly like corpus join misses."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_v1_spark.plans.crawl import CrawlEngine
+    from web_scraper_v1_spark.sources.corpus import SEEDS_SCHEMA
+    from web_scraper_v1_spark.sources.livefetch import chrome_ua_column
+
+    n_pages, n_hosts = 60, 4
+    pages_fx = fx.generate_pages(n_pages, n_hosts)
+    served = {}  # path -> fixture body bytes
+
+    class _Corpus(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def do_GET(self):
+            body = served.get(self.path)
+            if body is None:
+                self.send_response(404)
+                self.send_header("Content-Length", "0")
+                self.end_headers()
+                return
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _Corpus)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    port = srv.server_address[1]
+    try:
+        def local_url(i: int) -> str:
+            return f"http://127.0.0.1:{port}/page/{i}"
+
+        for i, p in enumerate(pages_fx):
+            served[f"/page/{i}"] = p["html"]
+        # simulator's view of the same universe (parse of the served body)
+        pages_local = [
+            {"url": local_url(i), "text": p["text"]}
+            for i, p in enumerate(pages_fx)
+        ]
+        seeds_local = []
+        for i in range(1, 41):
+            k = fx.dhash(f"live-seed-{i}", "pick") % (n_pages + 8)
+            # k >= n_pages => a path the server 404s (fetch-failure analog)
+            seeds_local.append(
+                {"task_id": f"task-{i}", "url": local_url(k),
+                 "priority": 0, "depth": 0}
+            )
+        seeds_df = spark.createDataFrame(
+            [(s["task_id"], s["url"], s["priority"], s["depth"])
+             for s in seeds_local],
+            SEEDS_SCHEMA,
+        )
+
+        def fetcher(wave):
+            return live_fetch(
+                wave.withColumn(
+                    "user_agent", chrome_ua_column(F.col("canonical_url"))
+                )
+            )
+
+        eng = CrawlEngine(
+            spark, str(tmp_path / "live_run"), batch_size=10, fetcher=fetcher
+        )
+        eng.run(seeds_df)
+        sim = fx.simulate_crawl(seeds_local, pages_local, batch_size=10)
+        got = [
+            dict(seq=r.seq, url=r.url, attempt=r.attempt, outcome=r.outcome)
+            for r in eng.trace().orderBy("seq").collect()
+        ]
+        want = [
+            dict(seq=t["seq"], url=t["url"], attempt=t["attempt"],
+                 outcome=t["outcome"])
+            for t in sim.trace
+        ]
+        assert got == want and got, f"{len(got)} vs {len(want)} events"
+        assert {r.url for r in eng.seen().collect()} == sim.seen_urls
+        # byte-identical extracted text from live-fetched bodies
+        golden = {p["url"]: p["text"] for p in pages_local}
+        results = eng.results().collect()
+        assert results
+        for row in results:
+            want_text = golden[row.url]
+            got_text = "\n".join(
+                [row.user_agent, row.ip_address, row.forwarded_host]
+            )
+            assert got_text == want_text, row.url
+    finally:
+        srv.shutdown()
+
+
 def test_transport_errors_are_failures_not_crashes(spark):
     """Connection-refused and non-http URLs surface as status -1 rows (the
     live analog of a sandbox join miss), never task failures."""

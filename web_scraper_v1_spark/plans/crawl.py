@@ -154,6 +154,7 @@ class CrawlEngine:
         max_depth: int | None = None,
         broadcast_wave: bool | None = None,
         host_buckets: int | None = None,
+        fetcher=None,
     ):
         self.spark = spark
         self.store = SnapshotStore(run_dir)
@@ -202,6 +203,13 @@ class CrawlEngine:
         # files instead of full-scanning the table — at 10^10 URLs the
         # difference between listing one bucket directory and 10^10 rows.
         self.host_buckets = host_buckets
+        # Live-fetch seam (O7): ``fetcher`` maps the selected wave
+        # DataFrame to (canonical_url, status, html) — e.g.
+        # sources/livefetch.live_fetch over real HTTP. None = sandbox
+        # fetch-as-join against the page corpus passed to run(). Either
+        # way a missing/failed row (join miss or status != 200,
+        # job_processor.go:130-132) retries then drops identically.
+        self.fetcher = fetcher
         self.processed_set = SeenSet(
             spark,
             n_bits=bloom_bits,
@@ -287,10 +295,12 @@ class CrawlEngine:
     def run(
         self,
         seeds: DataFrame,
-        pages: DataFrame,
+        pages: DataFrame | None = None,
         robots: DataFrame | None = None,
         max_rounds: int = 10_000,
     ) -> list[RoundStats]:
+        if pages is None and self.fetcher is None:
+            raise ValueError("need a pages corpus or a fetcher")
         prepared = (
             prepare_seeds(seeds, self.batch_size)
             .select(*FRONTIER_COLS)
@@ -300,12 +310,15 @@ class CrawlEngine:
             prepared.agg(F.max("arrival_round")).collect()[0][0] or 0
         )
         # the fetch universe, canonical-keyed; urls are unique by corpus
-        # construction (one row per page)
-        pages_prepared = pages.select(
-            U.canonicalize(F.col("url")).alias("canonical_url"),
-            F.col("html"),
-            F.octet_length(F.col("html")).alias("page_bytes"),
-        )
+        # construction (one row per page). With a live fetcher the corpus
+        # is the network — pages is unused.
+        pages_prepared = None
+        if pages is not None:
+            pages_prepared = pages.select(
+                U.canonicalize(F.col("url")).alias("canonical_url"),
+                F.col("html"),
+                F.octet_length(F.col("html")).alias("page_bytes"),
+            )
 
         next_round, next_seq, next_queue_seq = self._load_state()
         if next_queue_seq is None:
@@ -367,6 +380,20 @@ class CrawlEngine:
         ``self.broadcast_wave`` (see __init__); otherwise a shuffle
         equi-join on canonical_url."""
         wave = F.broadcast(selected) if self.broadcast_wave else selected
+        if self.fetcher is not None:
+            # live mode: fetch the wave over the network, keep the 200s as
+            # the "corpus side" (bounded by the wave, so the same join
+            # strategy reasoning applies), join task metadata back on
+            fetched_ok = (
+                self.fetcher(selected)
+                .filter(F.col("status") == F.lit(200))
+                .select(
+                    "canonical_url",
+                    "html",
+                    F.octet_length("html").alias("page_bytes"),
+                )
+            )
+            return fetched_ok.join(wave, "canonical_url", "inner")
         return pages_prepared.join(wave, "canonical_url", "inner")
 
     def _run_round(

@@ -36,9 +36,47 @@ from typing import Iterator
 from urllib.parse import urlsplit
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from web_scraper_v1_spark.fixtures import (
+    CHROME_OPERATING_SYSTEMS,
+    CHROME_VERSIONS,
+    UA_TEMPLATE,
+)
 
 FETCH_SCHEMA = "canonical_url string, status int, html binary"
+
+_UA_PRE, _rest = UA_TEMPLATE.split("{os}")
+_UA_MID, _UA_POST = _rest.split("{version}")
+
+
+def chrome_ua_column(url: Column) -> Column:
+    """Deterministic per-URL Chrome User-Agent column (O20,
+    chrome.go:69-74) for the live fetcher: version/OS chosen by
+    pmod(xxhash64(url)) instead of rand, entirely JVM-side, preserving the
+    reference template's exact bytes including the Cyrillic look-alike
+    'Mоzillа' (chrome.go:73)."""
+    os_arr = F.array(*[F.lit(o) for o in CHROME_OPERATING_SYSTEMS])
+    v_arr = F.array(*[F.lit(v) for v in CHROME_VERSIONS])
+    return F.concat(
+        F.lit(_UA_PRE),
+        F.element_at(
+            os_arr,
+            (
+                F.pmod(F.xxhash64(url), F.lit(len(CHROME_OPERATING_SYSTEMS)))
+                + 1
+            ).cast("int"),
+        ),
+        F.lit(_UA_MID),
+        F.element_at(
+            v_arr,
+            (
+                F.pmod(F.xxhash64(url), F.lit(len(CHROME_VERSIONS))) + 1
+            ).cast("int"),
+        ),
+        F.lit(_UA_POST),
+    )
 
 # executor-local (per Python worker process) keep-alive connection pool
 _POOL: dict[tuple[str, int], http.client.HTTPConnection] = {}
