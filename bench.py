@@ -51,6 +51,7 @@ HEADLINE = [
     "fingerprint_md5",
     "dedup_exact",
     "ngram_jaccard_dedup",
+    "dedup_pipeline",
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ann_bruteforce",

@@ -52,6 +52,48 @@ def test_compaction_preserves_contents_and_resumability(spark, tmp_path):
     assert store2.compact(spark, "seen", SCHEMA) is None
 
 
+def test_compaction_of_host_bucket_partitioned_table(spark, tmp_path, corpus_dir):
+    """compact() on a host-bucket-partitioned table must union the
+    snapshot dirs correctly (multi-root partitioned reads), keep the
+    partitioned layout in the compacted dir, and preserve both contents
+    and the per-host partition-pruned read path."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from web_scraper_v1_spark.plans.crawl import PROCESSED_SCHEMA
+
+    pages = read_pages(spark, corpus_dir)
+    seeds = read_seeds(spark, corpus_dir).limit(40)
+    eng = CrawlEngine(
+        spark, str(tmp_path / "run_hbc"), batch_size=10, host_buckets=4
+    )
+    eng.run(seeds, pages)
+    assert len(eng.store.committed_paths("processed")) > 1
+    before = sorted(tuple(x) for x in eng.processed().collect())
+
+    bucketed = T.StructType(
+        list(PROCESSED_SCHEMA.fields)
+        + [T.StructField("host_bucket", T.IntegerType(), True)]
+    )
+    dest = eng.store.compact(spark, "processed", bucketed)
+    assert dest is not None
+    # compacted dir keeps the bucket layout
+    import os
+
+    assert any(
+        d.startswith("host_bucket=") for d in os.listdir(dest)
+    )
+    after = sorted(tuple(x) for x in eng.processed().collect())
+    assert after == before
+    # per-host pruned read still prunes post-compaction
+    hp = eng.host_processed("host0.example.com")
+    plan = hp._sc._jvm.PythonSQLUtils.explainString(
+        hp._jdf.queryExecution(), "formatted"
+    )
+    assert "host_bucket" in plan.split("PartitionFilters:")[1].split("]")[0]
+    assert hp.count() > 0
+
+
 def test_ttl_recrawl_refetches_after_expiry(spark, tmp_path, corpus_dir):
     pages = read_pages(spark, corpus_dir)
     seeds = read_seeds(spark, corpus_dir).limit(6)

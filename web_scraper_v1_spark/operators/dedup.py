@@ -221,21 +221,33 @@ def ngram_jaccard_pairs(
                 df_counts.filter(F.col("_df") <= max_df), "shingle"
             ).drop("_df")
         )
-    # kept-posting count per doc -> pruned count p = n_shingles - n_kept
-    kept = postings.groupBy("id", "n_shingles").agg(
-        F.count("*").alias("_n_kept")
+    # kept-posting count per doc -> pruned count p = n_shingles - n_kept.
+    # One window over id-partitioned postings, computed once and persisted:
+    # both sides of the posting self-join read the annotated frame from
+    # cache instead of each re-running a groupBy+join pair (two fewer
+    # shuffles; the self-join's shuffle by shingle is unchanged).
+    from pyspark.sql import Window as _W
+
+    annotated = _persist(
+        postings.withColumn(
+            "_p",
+            (
+                F.col("n_shingles")
+                - F.count("*").over(_W.partitionBy("id"))
+            ).cast("int"),
+        )
     )
-    a = postings.join(kept, ["id", "n_shingles"]).select(
+    a = annotated.select(
         F.col("shingle"),
         F.col("id").alias("id_a"),
         F.col("n_shingles").alias("n_a"),
-        (F.col("n_shingles") - F.col("_n_kept")).alias("p_a"),
+        F.col("_p").alias("p_a"),
     )
-    b = postings.join(kept, ["id", "n_shingles"]).select(
+    b = annotated.select(
         F.col("shingle"),
         F.col("id").alias("id_b"),
         F.col("n_shingles").alias("n_b"),
-        (F.col("n_shingles") - F.col("_n_kept")).alias("p_b"),
+        F.col("_p").alias("p_b"),
     )
     inter_ub = F.col("inter_kept") + F.least("p_a", "p_b")
     candidates = (

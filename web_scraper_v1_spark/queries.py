@@ -1161,6 +1161,60 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.exact_dedup(d.unionByName(dup))
 
 
+_PIPELINE_ORACLE = """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text
+      FROM documents WHERE doc_id % 10 = 0
+    ), kept AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM unioned
+      GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    ), survivors AS (
+      SELECT u.doc_id, u.text
+      FROM unioned u JOIN kept k ON u.doc_id = k.doc_id
+    ), toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM survivors
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                        AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                 AS DOUBLE), 6) >= 0.8
+"""
+
+
+@_q("dedup_pipeline", _PIPELINE_ORACLE)
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data dedup PIPELINE over a corpus with
+    injected exact duplicates: exact dedup first (fingerprint groupBy,
+    keep lowest id — removes whole-document copies cheaply), then n-gram
+    Jaccard near-dup over the survivors. Staging matters at 100 TB:
+    identical documents form the only unbounded LSH/posting buckets, so
+    running the 16-byte-key exact stage first is what keeps every
+    near-dup strategy's bucket sizes bounded (the skew note in
+    operators/dedup.py). Oracle replays both stages in SQL."""
+    d = _t(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    unioned = d.unionByName(dup)
+    kept = DD.exact_dedup(unioned).select(F.col("kept_id").alias("doc_id"))
+    survivors = unioned.join(kept, "doc_id", "left_semi")
+    return DD.ngram_jaccard_pairs(survivors, threshold=0.8)
+
+
 _JACCARD_ORACLE = """
     WITH toks AS (
       SELECT doc_id,
