@@ -56,6 +56,7 @@ HEADLINE = [
     "simhash_dedup",
     "ann_bruteforce",
     "ann_lsh",
+    "ann_ivf",
     "multimodal_features",
     "winnow_fingerprint",
 ]

@@ -183,22 +183,24 @@ def main() -> None:
         results[cores] = json.loads(line[-1])
         print(line[-1])
 
-    lo, hi = levels
-    tp_lo = results[lo]["urls_per_sec"]
-    tp_hi = results[hi]["urls_per_sec"]
-    eff = round(tp_hi / tp_lo / (hi / lo), 3)
-    print(
-        json.dumps(
-            {
-                "metric": f"scaling_efficiency_{lo}_to_{hi}",
-                "value": eff,
-                f"urls_per_sec_{lo}": tp_lo,
-                f"urls_per_sec_{hi}": tp_hi,
-                "n_pages": n_pages,
-                "target": 0.8,
-            }
+    # one efficiency line per adjacent level pair (supports N-level runs
+    # like SPARK_GRAFT_SCALE_LEVELS=2,8,32 in one epoch)
+    for lo, hi in zip(levels, levels[1:]):
+        tp_lo = results[lo]["urls_per_sec"]
+        tp_hi = results[hi]["urls_per_sec"]
+        eff = round(tp_hi / tp_lo / (hi / lo), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": f"scaling_efficiency_{lo}_to_{hi}",
+                    "value": eff,
+                    f"urls_per_sec_{lo}": tp_lo,
+                    f"urls_per_sec_{hi}": tp_hi,
+                    "n_pages": n_pages,
+                    "target": 0.8,
+                }
+            )
         )
-    )
 
 
 if __name__ == "__main__":

@@ -169,3 +169,37 @@ def test_whole_stage_codegen_relational(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
     assert "*(" in executed
+
+
+def test_ann_ivf_corpus_never_shuffles_before_probe_join(spark):
+    """IVF plan shape: centroid assignment is a literal-expression map
+    over the corpus scan (no Exchange between the scan and the probe
+    join), the probe side is the ONLY broadcast (queries x n_probe rows),
+    and nothing is a cartesian product. With auto-broadcast disabled, any
+    BroadcastExchange can only be the intended probe-side hint."""
+    from web_scraper_v1_spark.operators.similarity import ivf_ann_topk
+
+    embs = spark.range(0, 500).selectExpr(
+        "id as vec_id",
+        "transform(sequence(1, 8), j -> cast(pmod(id * j, 97) as float))"
+        " as embedding",
+    )
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 5)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(
+            ivf_ann_topk(embs, qids, dim=8, k=3, n_centroids=4, n_probe=2)
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly the two intended broadcasts survive (query-id semi side and
+    # the probe set) — the corpus relation itself is never broadcast, and
+    # the only exchange after the corpus scan is the final top-k window's.
+    # "BroadcastExchange (" matches tree nodes only (the formatted detail
+    # section re-prints each node as "(N) BroadcastExchange").
+    assert plan.count("BroadcastExchange (") == 2, plan.count(
+        "BroadcastExchange ("
+    )

@@ -226,3 +226,46 @@ def test_fingerprint_normalization(spark):
         ).collect()
     ]
     assert fps[0] == fps[1] == fps[2]
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark):
+    """Registry IVF config (C=16, n_probe=4 — probing 1/4 of the lists):
+    recall far above the 5/499 ≈ 1% chance floor. These embeddings are
+    near-random (max pairwise cosine ~0.51) — the adversarial regime for
+    any coarse quantizer, true neighbors barely cluster; real document
+    embeddings cluster hard and need far fewer probes."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk(embs, qids, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(embs, qids, dim=64, k=5).collect()
+    }
+    recall = len(brute & approx) / len(brute)
+    assert recall >= 0.4, f"recall {recall}"
+
+
+def test_ann_ivf_tuned_recall(spark):
+    """Tuned IVF (C=16, n_probe=12): recall >= 0.8 vs the exact baseline —
+    same quality gate as the tuned sign-LSH config. On this near-random
+    corpus that takes probing 3/4 of the lists (see the registry test's
+    regime note — no coarse quantizer prunes unclustered vectors well;
+    clustered real embeddings need n_probe << C); the oracle-gated
+    registry config stays at C=16/4."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk(embs, qids, k=5).collect()
+    }
+    tuned = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(
+            embs, qids, dim=64, k=5, n_centroids=16, n_probe=12
+        ).collect()
+    }
+    recall = len(brute & tuned) / len(brute)
+    assert recall >= 0.8, f"tuned recall {recall}"

@@ -4,7 +4,7 @@ No reference counterpart (the reference carries only flat strings,
 /root/reference/internal/model/job.go:8-14) — this is the training-data
 pipeline layer a 100 TB web-text engine needs alongside dedup.
 
-Two paths:
+Three paths:
 * brute-force cosine top-k — the exact baseline: broadcast the (small)
   query set against the full corpus, JVM-side dot products via
   zip_with/aggregate, per-query window top-k. Linear in corpus size,
@@ -14,6 +14,12 @@ Two paths:
   sharing >= (H - max_flips) signature bits with the query (banded match on
   signature prefixes), scored exactly within buckets. Recall is tunable via
   H/max_flips; at 10^10 vectors the bucket join replaces the full scan.
+* IVF (inverted-file) bucketed top-k — the other canonical scale path:
+  a tiny coarse quantizer (C centroid vectors) partitions the corpus into
+  C inverted lists; a query exactly scores only the lists of its n_probe
+  nearest centroids. Quantizer "training" here is a deterministic sample
+  (smallest md5(id)) so the whole algorithm is SQL-oracle-checkable; the
+  k-means seam for real deployments is documented on ``ivf_centroids``.
 
 Determinism: hyperplane components derive from md5 of (plane, dim) — no RNG
 state, so every run and every engine sees the same planes (Workflow-style
@@ -23,6 +29,7 @@ restriction: nothing here depends on wall clock or random seeds).
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -302,5 +309,150 @@ def lsh_ann_topk(
             F.col("id").alias("neighbor_id"),
             F.col("rank").cast("int").alias("rank"),
             F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+def ivf_centroids(
+    embs: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer "training": the ``n_centroids``
+    corpus vectors with the smallest ``md5(id)`` — an order-free
+    pseudo-random sample (a TakeOrdered, no full sort materialization).
+
+    This is the training seam of a real IVF index: at 10^10 vectors you
+    run k-means here instead (Lloyd iterations = repeated broadcast-assign
+    + groupBy re-average over the same corpus), and C grows to ~sqrt(N)
+    (e.g. 4096 x 64 doubles = 2 MB — still trivially driver/broadcast
+    sized). The sampled quantizer keeps the whole algorithm a pure
+    function of the data, so the DuckDB oracle can replay it end-to-end;
+    float-mean nondeterminism is exactly what it avoids.
+
+    Returns driver-side ``[(cid, vector)]`` — the quantizer is tiny model
+    state applied as literal map expressions downstream (the IVF analog of
+    ``lsh_signatures``' literal plane matrix)."""
+    v = _as_double(vec_col)
+    rows = (
+        embs.select(F.col(id_col).alias("id"), v.alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), "id")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(int(r["id"]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def _ivf_score_array(centroids: list[tuple[int, list[float]]]):
+    """Array<struct<c: double, nid: long>> of per-centroid rounded cosines
+    against columns ``v``/``norm``, with ``nid = -cid`` so that struct
+    ordering (c asc, nid asc) == (cosine asc, cid desc): ``array_max``
+    picks (best cosine, lowest cid) and a reversed ``array_sort`` yields
+    the probe order (cosine desc, cid asc) — the oracle's
+    ``ORDER BY c6 DESC, cid``. Centroid norms are folded sequentially in
+    Python (same IEEE op order as the JVM/DuckDB folds) and baked in as
+    literals, so each row pays C dot-folds and nothing else."""
+    entries = []
+    for cid, cv in centroids:
+        s = 0.0
+        for x in cv:
+            s += x * x
+        cnorm = math.sqrt(s)
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        c6 = F.round(
+            _dot(F.col("v"), lit) / (F.col("norm") * F.lit(cnorm)), 6
+        )
+        entries.append(
+            F.struct(
+                c6.alias("c"),
+                F.lit(-int(cid)).cast("long").alias("nid"),
+            )
+        )
+    return F.array(*entries)
+
+
+def ivf_ann_topk(
+    embs: DataFrame,
+    query_ids: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: every corpus vector is assigned to its
+    nearest centroid (one literal-expression map over the scan — NO
+    shuffle, NO Python); each query exactly scores only the vectors whose
+    assigned centroid is among the query's ``n_probe`` nearest centroids.
+
+    Plan shape at scale: the corpus never shuffles — it is scanned once,
+    assigned inline, and equi-joined against the tiny broadcast probe set
+    (queries x n_probe rows); the only exchange on the big side is the
+    per-query top-k window over the ~n_probe/C corpus slice. In a stored
+    deployment the assignment is written once as a partition column
+    (host-bucket style) and probing becomes partition pruning.
+
+    Deterministic (sampled quantizer, md5-ordered) => the oracle replays
+    the identical algorithm in SQL; recall vs the exact baseline is
+    additionally pytest-gated. C interpreted dot-folds per row is the
+    documented registry-scale trade (same as ann_lsh's plane folds); the
+    Arrow mat-mult kernel is the drop-in at cluster scale."""
+    v = _as_double(vec_col)
+    base = embs.select(
+        F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("norm")
+    )
+    cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
+    arr = _ivf_score_array(cents)
+    assigned = base.withColumn(
+        "cid", (-F.array_max(arr)["nid"]).cast("long")
+    )
+    probes = (
+        base.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("id"))), "id"
+        )
+        .select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+            ).alias("probe"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qnorm",
+            (-F.col("probe.nid")).cast("long").alias("cid"),
+        )
+    )
+    # a corpus vector has exactly ONE assigned cid and probe cids are
+    # distinct per query, so the equi-join yields each (query, candidate)
+    # pair at most once — no dedup stage needed
+    candidates = assigned.join(F.broadcast(probes), "cid").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = candidates.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qnorm") * F.col("norm")),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("rank").cast("int").alias("rank"),
+            # single rounding (the 6-decimal score itself): a second
+            # round-to-4 can land on a .5 tie where Spark (HALF_UP) and
+            # DuckDB disagree — observed at c6=0.27795 on the sf0.01 corpus
+            F.col("cosine"),
         )
     )

@@ -1387,6 +1387,70 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_ann_topk(embs, qids, dim=64, k=5)
 
 
+# -- ann_ivf: the coarse quantizer is a deterministic sample (the C
+# vectors with the smallest md5(id)), so the WHOLE inverted-file
+# algorithm — train -> assign -> probe -> exact re-rank — replays in SQL.
+
+
+def _ann_ivf_oracle(n_centroids: int = 16, n_probe: int = 4) -> str:
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ), scored_c AS (
+      SELECT v.vec_id, cent.cid,
+             round(list_dot_product(v.e, cent.ce)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS c6
+      FROM v CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id, cid FROM scored_c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY c6 DESC, cid) = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM scored_c
+      WHERE vec_id < 20
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY c6 DESC, cid) <= {n_probe}
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS id
+      FROM probes p JOIN assigned a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ), scored AS (
+      SELECT cand.query_id, cand.id AS neighbor_id,
+             round(list_dot_product(qe.e, ce.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e))
+                      * sqrt(list_dot_product(ce.e, ce.e))), 6) AS c6
+      FROM cand
+      JOIN v qe ON qe.vec_id = cand.query_id
+      JOIN v ce ON ce.vec_id = cand.id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY c6 DESC, neighbor_id) AS INT) AS rank,
+           c6 AS cosine
+    FROM scored
+    QUALIFY rank <= 5
+    """
+
+
+@_q("ann_ivf", _ann_ivf_oracle())
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) bucketed ANN top-k — the second canonical ANN
+    scale path next to sign-LSH: a C-centroid coarse quantizer partitions
+    the corpus into inverted lists; queries exactly score only their
+    n_probe nearest lists. Corpus-side assignment is a literal-expression
+    map (no shuffle, no Python); the quantizer is deterministic (smallest
+    md5(id) sample — the k-means training seam is documented on
+    operators/similarity.ivf_centroids), so the oracle replays
+    train/assign/probe/re-rank end-to-end — a full value-hash gate."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 20)
+    return SIM.ivf_ann_topk(embs, qids, dim=64, k=5)
+
+
 # --------------------------------------------------------------------------
 # Rows-only queries (genuinely non-SQL-expressible; weaker driver check)
 # --------------------------------------------------------------------------
