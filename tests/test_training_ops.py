@@ -269,3 +269,43 @@ def test_ann_ivf_tuned_recall(spark):
     }
     recall = len(brute & tuned) / len(brute)
     assert recall >= 0.8, f"tuned recall {recall}"
+
+
+def test_ann_ivf_kmeans_training(spark):
+    """The distributed spherical-k-means quantizer (the ivf_centroids
+    training seam): on the near-random sf0.001 embeddings it must at
+    least hold the sampled quantizer's quality at n_probe=8 (measured:
+    sampled 0.74, kmeans@5iter 0.82 — clustering barely exists to find,
+    so the gate is recall >= 0.70 with noise margin for cross-partition
+    float-sum order), and training on the deterministic id-hash half
+    sample (train_mod=2) must produce usable centroids too."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 10)
+    brute = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.cosine_topk(embs, qids, k=5).collect()
+    }
+    cents = SIM.ivf_centroids_kmeans(embs, 16, n_iter=5)
+    assert len(cents) == 16 and all(len(v) == 64 for _, v in cents)
+    got = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(
+            embs, qids, dim=64, k=5, n_centroids=16, n_probe=8,
+            centroids=cents,
+        ).collect()
+    }
+    recall = len(brute & got) / len(brute)
+    assert recall >= 0.70, f"kmeans recall {recall}"
+
+    sampled_cents = SIM.ivf_centroids_kmeans(
+        embs, 16, n_iter=1, train_mod=2
+    )
+    got2 = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.ivf_ann_topk(
+            embs, qids, dim=64, k=5, n_centroids=16, n_probe=8,
+            centroids=sampled_cents,
+        ).collect()
+    }
+    recall2 = len(brute & got2) / len(brute)
+    assert recall2 >= 0.5, f"half-sample-trained recall {recall2}"

@@ -1443,8 +1443,9 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus into inverted lists; queries exactly score only their
     n_probe nearest lists. Corpus-side assignment is a literal-expression
     map (no shuffle, no Python); the quantizer is deterministic (smallest
-    md5(id) sample — the k-means training seam is documented on
-    operators/similarity.ivf_centroids), so the oracle replays
+    md5(id) sample — the k-means training path is implemented as
+    operators/similarity.ivf_centroids_kmeans, pytest-gated), so the
+    oracle replays
     train/assign/probe/re-rank end-to-end — a full value-hash gate."""
     embs = _t(spark, sf_dir, "embeddings")
     qids = embs.select("vec_id").filter(F.col("vec_id") < 20)
