@@ -37,6 +37,7 @@ HEADLINE = [
     "groupby_agg",
     "window_topk",
     "window_running",
+    "sessionize",
     "broadcast_join",
     "anti_join_seen",
     "semi_join",

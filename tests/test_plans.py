@@ -203,3 +203,16 @@ def test_ann_ivf_corpus_never_shuffles_before_probe_join(spark):
     assert plan.count("BroadcastExchange (") == 2, plan.count(
         "BroadcastExchange ("
     )
+
+
+def test_sessionize_single_shuffle(spark):
+    """Sessionization's whole pipeline — lag window, running-sum window,
+    (user_id, session_num) aggregation — must run on ONE exchange: the
+    windows share the hash-by-user_id sort, and
+    HashPartitioning(user_id) satisfies the aggregation's clustering on
+    (user_id, session_num) (subset rule), so no second shuffle appears.
+    At 100 TB the only data movement is the initial repartition by user."""
+    plan = plan_of(Q.queries()["sessionize"](spark, SF))
+    assert plan.count("Exchange (") == 1, plan
+    # map-side partial aggregation before the final one
+    assert "partial_min" in plan or "partial_count" in plan

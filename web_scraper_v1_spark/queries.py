@@ -748,6 +748,76 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "sessionize",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ), tagged AS (
+      SELECT user_id, event_id, ts_us, value,
+             CAST(SUM(CASE WHEN prev_us IS NULL
+                            OR ts_us - prev_us > 1800000000
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_num
+      FROM seq
+    )
+    SELECT user_id, session_num,
+           MIN(ts_us) AS session_start_us,
+           MAX(ts_us) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT)
+             AS value_c
+    FROM tagged
+    GROUP BY user_id, session_num
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity cut) — the canonical
+    weblog/clickstream operator a training-data pipeline runs over crawl
+    and interaction logs. Timestamps are compared as integer epoch
+    micros (exact in both engines; no raw timestamps emitted, per the
+    oracle-parity rules).
+
+    Plan shape: ONE shuffle. The lag window, the running-sum window, and
+    the (user_id, session_num) aggregation all run on the same
+    hash-by-user_id partitioning — HashPartitioning(user_id) satisfies
+    the aggregation's ClusteredDistribution(user_id, session_num)
+    (subset rule), so Catalyst inserts no second exchange; at 100 TB the
+    only data movement is the initial repartition by user. No reference
+    counterpart (SURVEY.md §2 — the reference has no window functions);
+    this is the §2 'windows' category applied to the events table."""
+    e = _t(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; the session timezone is pinned UTC
+    # (session.py), so the NTZ->TZ cast is the identity on the stored
+    # micros and agrees with DuckDB's epoch_us over its naive TIMESTAMP
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = ts_us - F.lag(ts_us).over(w)
+    new_sess = F.when(
+        gap.isNull() | (gap > 1800 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    tagged = e.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        "value",
+        F.sum(new_sess)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("session_num"),
+    )
+    return tagged.groupBy("user_id", "session_num").agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+        F.count("*").alias("n_events"),
+        F.sum(cents(F.col("value"))).alias("value_c"),
+    )
+
+
+@_q(
     "cube_metrics",
     """
     SELECT o_orderstatus, o_orderpriority,
