@@ -447,6 +447,15 @@ class CrawlEngine:
         # bloom-filter join injected from the wave side prunes the corpus
         # scan; AQE picks the physical strategy from runtime sizes).
         hits = self._wave_join(pages_prepared, selected)
+        if self.broadcast_wave and self.fetcher is None:
+            # the broadcast join keeps the corpus scan and the Arrow
+            # extraction UDF in ONE stage — measured bimodally 3-10x
+            # slower on this VM at >=16 tasks (BENCH.md §4), and on a
+            # real cluster it couples scan IO with Python CPU. The wave
+            # bounds the hit set, so one cheap exchange moves the parse
+            # stage off the scan. (The shuffle-join path already has an
+            # exchange here; the live-fetch path never scans parquet.)
+            hits = hits.repartition("canonical_url")
         parsed = hits.withColumn(
             "r", extract_receiver_response(F.col("html"))
         ).select(

@@ -649,7 +649,13 @@ def q_crawl_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     fetched = pages_keyed.join(
         F.broadcast(wave.select("canonical_url")), "canonical_url"
     )
-    parsed = fetched.withColumn(
+    # the broadcast join leaves the extraction UDF co-resident with the
+    # parquet scan stage — this VM's measured bimodal 3-10x pathology at
+    # >=16 concurrent tasks (BENCH.md §4), and on a real cluster it
+    # couples scan IO with Python CPU. One tiny exchange of the already
+    # wave-bounded hit set moves the Arrow stage off the scan
+    # (A/B at sf0.1: 3.0-7.1 s bimodal -> stable 2.1-2.7 s).
+    parsed = fetched.repartition("canonical_url").withColumn(
         "r", extract_receiver_response(F.col("html"))
     )
     return parsed.filter(~F.col("r.parse_error")).select(
