@@ -146,7 +146,13 @@ def doc_shingles(
             out.append(list(seen))
         return pd.Series(out)
 
-    out = docs.select(
+    # one exchange before the UDF keeps the Arrow stage off the parquet
+    # scan (this VM's measured bimodal 3-10x pathology at >=16 tasks, and
+    # scan-IO/Python-CPU coupling on any cluster — BENCH.md §4). Paid once
+    # per input: the shingled frame is persisted and shared across the
+    # ngram/MinHash/SimHash strategies (_shingles_cached). A/B at sf0.1:
+    # 16.5 s cold / 2.4 s warm -> 3.2 s cold / 1.7 s warm.
+    out = docs.repartition(F.col(id_col)).select(
         F.col(id_col).alias("id"),
         _shingle(F.col(text_col)).alias("shingles"),
     ).withColumn("n_shingles", F.size("shingles"))
