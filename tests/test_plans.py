@@ -172,11 +172,11 @@ def test_whole_stage_codegen_relational(spark):
 
 
 def test_ann_ivf_corpus_never_shuffles_before_probe_join(spark):
-    """IVF plan shape: centroid assignment is a literal-expression map
-    over the corpus scan (no Exchange between the scan and the probe
-    join), the probe side is the ONLY broadcast (queries x n_probe rows),
-    and nothing is a cartesian product. With auto-broadcast disabled, any
-    BroadcastExchange can only be the intended probe-side hint."""
+    """IVF plan shape: centroid assignment is one Arrow-kernel map over
+    the corpus (behind a single decoupling repartition — never co-resident
+    with the scan), the probe side is the ONLY broadcast (queries x
+    n_probe rows), and nothing is a cartesian product. With auto-broadcast
+    disabled, any BroadcastExchange can only be the intended hints."""
     from web_scraper_v1_spark.operators.similarity import ivf_ann_topk
 
     embs = spark.range(0, 500).selectExpr(

@@ -382,12 +382,15 @@ def ivf_centroids_kmeans(
         base = base.filter(
             F.pmod(F.xxhash64(F.col("id")), F.lit(train_mod)) == 0
         )
-    base = base.persist()
+    # one exchange before the Arrow assignment kernel keeps Python out of
+    # the parquet-scan stage (BENCH.md §4); paid once, the frame persists
+    # across all n_iter assignment passes
+    base = base.repartition(F.col("id")).persist()
     try:
         cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
         for _ in range(n_iter):
-            arr = _ivf_score_array(cents)
-            assigned = base.withColumn("norm", _norm(F.col("v"))).withColumn(
+            arr = _centroid_score_array(cents, F.col("v"))
+            assigned = base.withColumn(
                 "cid", (-F.array_max(arr)["nid"]).cast("long")
             )
             sums = assigned.groupBy("cid").agg(
@@ -409,32 +412,65 @@ def ivf_centroids_kmeans(
     return cents
 
 
-def _ivf_score_array(centroids: list[tuple[int, list[float]]]):
-    """Array<struct<c: double, nid: long>> of per-centroid rounded cosines
-    against columns ``v``/``norm``, with ``nid = -cid`` so that struct
-    ordering (c asc, nid asc) == (cosine asc, cid desc): ``array_max``
-    picks (best cosine, lowest cid) and a reversed ``array_sort`` yields
-    the probe order (cosine desc, cid asc) — the oracle's
-    ``ORDER BY c6 DESC, cid``. Centroid norms are folded sequentially in
-    Python (same IEEE op order as the JVM/DuckDB folds) and baked in as
-    literals, so each row pays C dot-folds and nothing else."""
-    entries = []
-    for cid, cv in centroids:
+def _ivf_scores_udf(centroids: list[tuple[int, list[float]]]):
+    """Arrow kernel computing each row's raw cosine against every centroid
+    (array<double>, one entry per centroid in input order), replaying the
+    EXACT IEEE op order of the JVM ``aggregate`` fold / DuckDB
+    ``list_dot_product`` (sequential adds over dimensions, vectorized over
+    rows and centroids — the ``_cosine_fold_udf`` pattern), so downstream
+    JVM ``F.round(c, 6)`` and the SQL oracle agree bit-for-bit. Centroid
+    norms are likewise folded sequentially at closure-build time.
+
+    This replaces a literal-expression formulation (C centroids x dim
+    literals inlined into one expression tree): that tree cost ~1000 py4j
+    calls to build, defeated codegen (aggregate lambdas are interpreted),
+    and paid C interpreted 64-element folds per row — measured 5-16 s for
+    2k vectors at sf0.1 vs well under a second here."""
+    M = np.array([cv for _, cv in centroids], dtype=np.float64)
+    cnorms = np.empty(len(centroids))
+    for j, (_cid, cv) in enumerate(centroids):
         s = 0.0
         for x in cv:
             s += x * x
-        cnorm = math.sqrt(s)
-        lit = F.array(*[F.lit(float(x)) for x in cv])
-        c6 = F.round(
-            _dot(F.col("v"), lit) / (F.col("norm") * F.lit(cnorm)), 6
-        )
-        entries.append(
-            F.struct(
-                c6.alias("c"),
-                F.lit(-int(cid)).cast("long").alias("nid"),
-            )
-        )
-    return F.array(*entries)
+        cnorms[j] = math.sqrt(s)
+
+    @F.pandas_udf("array<double>")
+    def _scores(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series(np.zeros(0)).astype(object)
+        A = np.stack(vs.to_numpy())
+        n = len(A)
+        na = np.zeros(n)
+        dots = np.zeros((n, len(M)))
+        for d in range(A.shape[1]):
+            na = na + A[:, d] * A[:, d]
+            dots = dots + A[:, d, None] * M[None, :, d]
+        c = dots / (np.sqrt(na)[:, None] * cnorms[None, :])
+        return pd.Series(list(c))
+
+    return _scores
+
+
+def _centroid_score_array(centroids: list[tuple[int, list[float]]], vec_col):
+    """Array<struct<c: double, nid: long>> of per-centroid rounded cosines
+    for ``vec_col``, with ``nid = -cid`` so that struct ordering
+    (c asc, nid asc) == (cosine asc, cid desc): ``array_max`` picks
+    (best cosine, lowest cid) and a reversed ``array_sort`` yields the
+    probe order (cosine desc, cid asc) — the oracle's
+    ``ORDER BY c6 DESC, cid``. Raw cosines come from the Arrow fold
+    kernel (``_ivf_scores_udf``); rounding stays JVM-side so oracle
+    semantics are untouched."""
+    negs = F.array(
+        *[F.lit(-int(cid)).cast("long") for cid, _ in centroids]
+    )
+    scores = _ivf_scores_udf(centroids)(vec_col)
+    return F.transform(
+        scores,
+        lambda c, i: F.struct(
+            F.round(c, 6).alias("c"),
+            F.element_at(negs, i + F.lit(1)).alias("nid"),
+        ),
+    )
 
 
 def ivf_ann_topk(
@@ -449,32 +485,32 @@ def ivf_ann_topk(
     centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: every corpus vector is assigned to its
-    nearest centroid (one literal-expression map over the scan — NO
-    shuffle, NO Python); each query exactly scores only the vectors whose
+    nearest centroid (one Arrow-kernel map — the bit-identical fold, see
+    ``_ivf_scores_udf``); each query exactly scores only the vectors whose
     assigned centroid is among the query's ``n_probe`` nearest centroids.
 
-    Plan shape at scale: the corpus never shuffles — it is scanned once,
-    assigned inline, and equi-joined against the tiny broadcast probe set
-    (queries x n_probe rows); the only exchange on the big side is the
-    per-query top-k window over the ~n_probe/C corpus slice. In a stored
-    deployment the assignment is written once as a partition column
-    (host-bucket style) and probing becomes partition pruning.
+    Plan shape at scale: the corpus is scanned once, exchanged once (to
+    keep the Arrow assignment kernel out of the scan stage — BENCH.md §4;
+    at 10^10 vectors the assignment is instead written once as a
+    partition column, host-bucket style, and probing becomes partition
+    pruning with no per-query assignment work at all), assigned, and
+    equi-joined against the tiny broadcast probe set (queries x n_probe
+    rows); the remaining exchange on the big side is the per-query top-k
+    window over the ~n_probe/C corpus slice.
 
     Deterministic (sampled quantizer, md5-ordered) => the oracle replays
     the identical algorithm in SQL; recall vs the exact baseline is
-    additionally pytest-gated. C interpreted dot-folds per row is the
-    documented registry-scale trade (same as ann_lsh's plane folds); the
-    Arrow mat-mult kernel is the drop-in at cluster scale."""
+    additionally pytest-gated."""
     v = _as_double(vec_col)
     base = embs.select(
         F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("norm")
-    )
+    ).repartition(F.col("id"))
     cents = (
         centroids
         if centroids is not None
         else ivf_centroids(embs, n_centroids, id_col, vec_col)
     )
-    arr = _ivf_score_array(cents)
+    arr = _centroid_score_array(cents, F.col("v"))
     assigned = base.withColumn(
         "cid", (-F.array_max(arr)["nid"]).cast("long")
     )

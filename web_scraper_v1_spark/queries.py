@@ -1193,6 +1193,173 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LANG_CASE_SQL = """
+      CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+           WHEN c_en = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+           WHEN c_de = greatest(c_de, c_es, c_fr, c_zh) THEN 'de'
+           WHEN c_es = greatest(c_es, c_fr, c_zh) THEN 'es'
+           WHEN c_fr = greatest(c_fr, c_zh) THEN 'fr'
+           ELSE 'zh' END
+"""
+
+_LANG_SCORES_SQL = """
+      SELECT doc_id,
+        len(list_intersect(dw, ['the','a','of','and','is'])) AS c_en,
+        len(list_intersect(dw, ['der','die','das','und','ist'])) AS c_de,
+        len(list_intersect(dw, ['el','la','de','y','es'])) AS c_es,
+        len(list_intersect(dw, ['le','la','et','est','les'])) AS c_fr,
+        len(list_intersect(dw, ['的','是','了','在','和'])) AS c_zh
+      FROM tok
+"""
+
+
+@_q(
+    "quality_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS dw
+      FROM documents
+    ), scores AS (
+      {_LANG_SCORES_SQL}
+    ), parts AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) AS len_term,
+        1.0 - least(
+          (CAST(len(list_filter(w, t -> list_contains({_STOP_SQL}, t)))
+                AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 2.0, 1.0)
+          AS stop_term,
+        1.0 - least(
+          (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 4.0, 1.0)
+          AS punct_term
+      FROM tok
+    ), base AS (
+      SELECT p.doc_id, {_LANG_CASE_SQL} AS lang,
+             round(p.len_term * p.stop_term * p.punct_term, 6) AS quality,
+             p.n_tokens
+      FROM parts p JOIN scores USING (doc_id)
+    ), decided AS (
+      SELECT *,
+        CASE WHEN n_tokens < 8 THEN 'too_short'
+             WHEN lang = 'und' THEN 'unknown_lang'
+             WHEN quality < 0.1 THEN 'low_quality'
+        END AS reject_reason
+      FROM base
+    )
+    SELECT doc_id, lang, quality, n_tokens, reject_reason,
+           reject_reason IS NULL AS keep
+    FROM decided
+    """,
+)
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed document-filter stage of a training-data pipeline:
+    language ID + quality heuristic + token count folded into a keep/drop
+    decision with a first-failing-rule reject reason (the audit column a
+    100 TB curation run keeps). Pure JVM expressions end-to-end — one
+    codegen'd map over the scan, no shuffle, no Python — and every input
+    column is the exact formula its standalone query hash-certifies
+    (lang_id / quality_score / token_count)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 8, F.lit("too_short"))
+        .when(F.col("lang") == "und", F.lit("unknown_lang"))
+        .when(F.col("quality") < 0.1, F.lit("low_quality"))
+    )
+    return base.withColumn("reject_reason", reason).withColumn(
+        "keep", F.col("reject_reason").isNull()
+    )
+
+
+# sampling rates per language stratum (percent kept): downsample the
+# dominant language, keep minority languages whole, drop most unknowns —
+# the data-mixing knob of a training corpus
+_STRATA_RATES = {"en": 30, "de": 100, "es": 100, "fr": 100, "zh": 100, "und": 5}
+
+
+@_q(
+    "stratified_sample",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS dw
+      FROM documents
+    ), scores AS (
+      {_LANG_SCORES_SQL}
+    ), langs AS (
+      SELECT doc_id, {_LANG_CASE_SQL} AS lang FROM scores
+    ), hashed AS (
+      SELECT doc_id, lang,
+             -- first 4 hex chars of md5(doc_id) as an integer in [0, 65536):
+             -- the engine-portable deterministic unit hash (DuckDB has no
+             -- xxhash64; md5 nibble-folding is exact in both engines)
+             CAST([ (strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                    * CAST(16 ** (4 - i) AS BIGINT)
+                    FOR i IN range(1, 5) ] AS BIGINT[]) AS nibbles
+      FROM langs
+    ), buckets AS (
+      SELECT doc_id, lang,
+             (nibbles[1] + nibbles[2] + nibbles[3] + nibbles[4]) % 100
+               AS bucket,
+             CASE lang WHEN 'en' THEN {_STRATA_RATES['en']}
+                       WHEN 'de' THEN {_STRATA_RATES['de']}
+                       WHEN 'es' THEN {_STRATA_RATES['es']}
+                       WHEN 'fr' THEN {_STRATA_RATES['fr']}
+                       WHEN 'zh' THEN {_STRATA_RATES['zh']}
+                       ELSE {_STRATA_RATES['und']} END AS rate
+      FROM hashed
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket,
+           CAST(rate AS BIGINT) AS rate
+    FROM buckets
+    WHERE bucket < rate
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling — the data-mixing
+    stage of a training pipeline (downsample the dominant language, keep
+    minorities, drop most unknowns). The sampling decision is a pure
+    function of doc_id (first 4 md5 hex chars -> [0,65536) -> mod 100 vs
+    the stratum's rate), so it is reproducible across runs/engines and
+    needs NO shuffle, no RNG state, and no sort: one codegen'd map +
+    filter over the scan, trivially parallel at 10^10 docs. (Spark's
+    native df.sampleBy is seed-based and engine-specific — unusable for
+    cross-engine parity and resumable lineage.)"""
+    d = _t(spark, sf_dir, "documents")
+    lang = TX.lang_id(F.col("text"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in _STRATA_RATES.items() for x in kv]
+    )
+    rate = F.coalesce(
+        rate_map[F.col("lang")], F.lit(_STRATA_RATES["und"])
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            lang.alias("lang"),
+            bucket.alias("bucket"),
+        )
+        .withColumn("rate", rate)
+        .filter(F.col("bucket") < F.col("rate"))
+    )
+
+
 @_q(
     "fingerprint_md5",
     """
