@@ -824,6 +824,68 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "asof_join",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN epoch_us(ts) END IGNORE NULLS)
+               OVER w AS click_us,
+             last_value(CASE WHEN event_type = 'click'
+                             THEN event_id END IGNORE NULLS)
+               OVER w AS click_event_id
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           click_event_id, epoch_us(ts) - click_us AS gap_us
+    FROM marked
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (each purchase matched to the same user's most recent
+    prior click) — the classic point-in-time operator Spark lacks as a
+    builtin. Expressed as ONE window pass (running ``last`` ignore-nulls
+    over the union of both event streams, already interleaved in the
+    events table) instead of the naive time-range join: a range join is
+    O(n*m) per user and un-equi-joinable, while this shape is one shuffle
+    on user_id and a linear scan per partition — at 100 TB the left and
+    right streams union first, then this exact plan applies. Ties break
+    on event_id identically in both engines; timestamps are compared as
+    integer epoch micros per the oracle-parity rules."""
+    e = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_click = F.col("event_type") == "click"
+    return (
+        e.withColumn(
+            "click_us",
+            F.last(F.when(is_click, ts_us), ignorenulls=True).over(w),
+        )
+        .withColumn(
+            "click_event_id",
+            F.last(
+                F.when(is_click, F.col("event_id")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            ts_us.alias("ts_us"),
+            "click_event_id",
+            (ts_us - F.col("click_us")).alias("gap_us"),
+        )
+    )
+
+
+@_q(
     "cube_metrics",
     """
     SELECT o_orderstatus, o_orderpriority,
@@ -1361,6 +1423,167 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "repetition_stats",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), stats AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(max(c) AS BIGINT) AS top_count
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           round(CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS top_token_frac,
+           round(CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS distinct_frac
+    FROM stats
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021's
+    repetition filters): most-frequent-token mass and distinct-token
+    ratio — the quality gate that catches degenerate/boilerplate pages
+    that length and stopword heuristics miss. Two map-side-combinable
+    aggregations (token histogram, then per-doc rollup), both shuffles
+    keyed by doc_id(+token) so 10^10 docs spread evenly; all JVM, no
+    Python."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    stats = counts.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("top_count"),
+    )
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(
+            F.col("top_count").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("top_token_frac"),
+        F.round(
+            F.col("n_distinct").cast("double")
+            / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("distinct_frac"),
+    )
+
+
+# PII patterns — RE2/Java-regex common subset (no lookaround/backrefs):
+_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RX = r"\b555-[0-9]{4}\b"
+
+
+@_q(
+    "pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or call 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' now.' AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(
+                 regexp_replace(t, '{_EMAIL_RX}', '<EMAIL>', 'g'),
+                 '{_PHONE_RX}', '<PHONE>', 'g')) AS scrubbed_md5,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RX}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RX}')) AS BIGINT)
+             AS n_phones
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrubbing stage of a training-data pipeline:
+    emails and phone-shaped tokens replaced with typed placeholders, with
+    per-doc redaction counts for the audit trail. The synthetic corpus
+    contains no PII, so a deterministic contact line derived from doc_id
+    is appended first and both engines replay it — what is certified is
+    the scrub itself (pattern semantics, replacement, counting) on the
+    RE2/Java-regex common subset. Pure JVM regex over the scan: one
+    codegen'd map, no shuffle, embarrassingly parallel at 100 TB."""
+    d = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" now."),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RX, "<EMAIL>"),
+        _PHONE_RX,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RX), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RX), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+    )
+
+
+@_q(
+    "ngram_df_topk",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1]
+                            for i in range(1, len(w))]) AS shingles
+      FROM toks WHERE len(w) >= 2
+    ), counts AS (
+      SELECT unnest(shingles) AS bigram FROM sh
+    )
+    SELECT bigram, CAST(count(*) AS BIGINT) AS df
+    FROM counts GROUP BY bigram
+    ORDER BY df DESC, bigram LIMIT 100
+    """,
+)
+def q_ngram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram document frequency, top 100 — the boilerplate /
+    contamination detector (an n-gram in half the corpus is a template,
+    not content). Shingling reuses the Arrow kernel the dedup strategies
+    share (distinct word 2-grams per doc); the count is one map-side
+    partial aggregation keyed by n-gram, and the global top-k is a
+    TakeOrdered over per-partition heaps — no full sort at 10^10 docs.
+    Ties at the cutoff break on the n-gram string in both engines."""
+    d = _t(spark, sf_dir, "documents")
+    sh = DD.doc_shingles(d, n=2)
+    return (
+        sh.select(F.explode("shingles").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").cast("long").alias("df"))
+        .orderBy(F.desc("df"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
+@_q(
     "fingerprint_md5",
     """
     SELECT doc_id,
@@ -1487,6 +1710,61 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.8
     )
+
+
+@_q(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM toks WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                   AS DOUBLE), 6) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b AS src, id_a AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT id AS doc_id, cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size,
+           id = cluster_id AS keep
+    FROM comp
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from near-dup PAIRS: distributed connected
+    components (iterative min-label propagation, operators/graph.py) over
+    the exact n-gram Jaccard pair graph, emitting per-doc cluster id,
+    cluster size, and the keep-lowest-id canonical flag — the step that
+    turns pairwise dedup output into an actual keep/drop decision. The
+    oracle replays the transitive closure as a recursive CTE. Each
+    propagation round is one equi-join + one map-side-combinable groupBy,
+    both keyed by doc id; rounds = component diameter (2-4 for near-dup
+    families)."""
+    from web_scraper_v1_spark.operators.graph import cluster_assignments
+
+    pairs = DD.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+    return cluster_assignments(pairs)
 
 
 @_q("minhash_lsh_dedup", _JACCARD_ORACLE)
