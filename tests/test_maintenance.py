@@ -195,3 +195,84 @@ def test_no_ttl_means_no_refetch(spark, tmp_path, corpus_dir):
     fetched = [r for r in engine.trace().collect() if r.outcome == "fetched"]
     urls = [r.url for r in fetched]
     assert len(urls) == len(set(urls))  # each URL fetched at most once
+
+
+def test_time_travel_read_as_of(spark, tmp_path):
+    """Iceberg VERSION-AS-OF analog: read_as_of(r) sees exactly the
+    snapshots rounds <= r committed; compaction expires that history and
+    read_as_of then refuses loudly instead of answering wrong."""
+    store = SnapshotStore(str(tmp_path / "run_tt"))
+    for r in range(3):
+        df = spark.createDataFrame(
+            [(r * 10 + i, f"v{r}-{i}") for i in range(4)], SCHEMA
+        )
+        store.commit_round(
+            r, {"seen": store.write_snapshot(df, "seen", r)}, meta={}
+        )
+    def keys(df):
+        return sorted(row.k for row in df.collect())
+
+    assert keys(store.read_as_of(spark, "seen", SCHEMA, 0)) == [0, 1, 2, 3]
+    assert keys(store.read_as_of(spark, "seen", SCHEMA, 1)) == [
+        0, 1, 2, 3, 10, 11, 12, 13,
+    ]
+    assert keys(store.read_as_of(spark, "seen", SCHEMA, 2)) == keys(
+        store.read(spark, "seen", SCHEMA)
+    )
+    store.compact(spark, "seen", SCHEMA, delete_now=True)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compacted/expired"):
+        store.read_as_of(spark, "seen", SCHEMA, 1)
+
+
+def test_rollback_then_resume_reproduces_reference_trace(
+    spark, tmp_path, corpus_dir
+):
+    """The operations undo button: run a crawl to completion, roll the
+    run back to round 1, resume — the resumed engine must re-crawl rounds
+    2+ and land on the IDENTICAL final trace/seen state (same guarantee
+    as crash-resume, but operator-initiated)."""
+    from web_scraper_v1_spark import fixtures as fx
+    from web_scraper_v1_spark.sources.snapshots import SnapshotStore as SS
+
+    pages = read_pages(spark, corpus_dir)
+    seeds = read_seeds(spark, corpus_dir).limit(12)
+    run = str(tmp_path / "run_rb")
+    eng = CrawlEngine(spark, run, batch_size=3, retry_limit=3)
+    eng.run(seeds, pages)
+    full = [
+        tuple(r)
+        for r in eng.trace().orderBy("seq").collect()
+    ]
+    assert {m["round"] for m in eng.store.rounds()} >= {0, 1, 2}
+
+    store = SS(run)
+    dropped = store.rollback(1)
+    assert [m["round"] for m in store.rounds()] == [0, 1]
+    assert all(m["round"] > 1 for m in dropped)
+    # the dropped rounds' snapshot dirs are now orphans
+    removed = SS(run).clean_orphans()
+    assert removed
+
+    eng2 = CrawlEngine(spark, run, batch_size=3, retry_limit=3)
+    eng2.run(seeds, pages)
+    resumed = [
+        tuple(r)
+        for r in eng2.trace().orderBy("seq").collect()
+    ]
+    assert resumed == full
+
+
+def test_rollback_refuses_across_compaction(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "run_rbc"))
+    for r in range(3):
+        df = spark.createDataFrame([(r, f"v{r}")], SCHEMA)
+        store.commit_round(
+            r, {"seen": store.write_snapshot(df, "seen", r)}, meta={}
+        )
+    store.compact(spark, "seen", SCHEMA)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="across compaction"):
+        store.rollback(1)

@@ -15,6 +15,12 @@ Layout::
       seen/round=00000003/*.parquet
       ...
 
+Each round record also keeps its own table->path map, giving the two other
+Iceberg table-format affordances the engine relies on: time travel
+(``read_as_of(round)`` — the table exactly as round R committed it) and
+``rollback(round)`` (atomically rewind the run and resume from R+1); both
+stop at compaction points, the snapshot-expiry trade.
+
 The manifest maps table -> [committed snapshot dirs] plus per-round metadata
 (the RabbitMQ "batch" analog: one crawl round == one committed snapshot set,
 replacing the at-most-once auto-ack stream at
@@ -94,18 +100,24 @@ class SnapshotStore:
         return path
 
     def commit_round(self, round_id: int, tables: dict[str, str], meta: dict) -> None:
-        """Atomically publish all of a round's snapshots + its lineage row."""
+        """Atomically publish all of a round's snapshots + its lineage row.
+        The round record keeps its own table->path map, which is what makes
+        time travel (``read_as_of``) and ``rollback`` possible."""
         for table, path in tables.items():
             self._manifest["tables"].setdefault(table, []).append(path)
-        self._manifest["rounds"].append({"round": round_id, **meta})
+        self._manifest["rounds"].append(
+            {"round": round_id, "tables": dict(tables), **meta}
+        )
         self._commit_manifest()
 
     # -- reads -------------------------------------------------------------
     def committed_paths(self, table: str) -> list[str]:
         return list(self._manifest["tables"].get(table, []))
 
-    def read(self, spark: SparkSession, table: str, schema: T.StructType) -> DataFrame:
-        paths = self.committed_paths(table)
+    def _read_paths(
+        self, spark: SparkSession, table: str, schema: T.StructType,
+        paths: list[str],
+    ) -> DataFrame:
         if not paths:
             return spark.createDataFrame([], schema)
         if table not in self._manifest["partitioned"]:
@@ -118,6 +130,73 @@ class SnapshotStore:
         for df in dfs[1:]:
             out = out.unionByName(df)
         return out
+
+    def read(self, spark: SparkSession, table: str, schema: T.StructType) -> DataFrame:
+        return self._read_paths(
+            spark, table, schema, self.committed_paths(table)
+        )
+
+    def read_as_of(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: T.StructType,
+        round_id: int,
+    ) -> DataFrame:
+        """Time travel (Iceberg ``VERSION AS OF`` analog): the table as it
+        stood after round ``round_id`` committed — only snapshot dirs
+        published by rounds <= round_id. Raises if that history has been
+        folded away by compaction (the snapshot-expiry trade: compaction
+        keeps current-state reads O(1 dir) at the cost of pre-compaction
+        time travel, exactly like expiring Iceberg snapshots)."""
+        paths = [
+            r["tables"][table]
+            for r in self._manifest["rounds"]
+            if r["round"] <= round_id and table in r.get("tables", {})
+        ]
+        gone = [p for p in paths if not os.path.exists(p)]
+        if gone:
+            raise ValueError(
+                f"time travel to round {round_id} crosses compacted/expired "
+                f"snapshots of '{table}': {gone[:3]}"
+            )
+        return self._read_paths(spark, table, schema, paths)
+
+    def rollback(self, round_id: int) -> list[dict]:
+        """Atomically rewind the run to the state after round ``round_id``
+        committed: later rounds' lineage rows are dropped and every table's
+        committed-path list is rebuilt from the surviving rounds, so a
+        subsequent engine start resumes from round ``round_id + 1`` (the
+        crawl-operations undo button — e.g. discard rounds poisoned by a
+        bad robots push). The discarded snapshot dirs become unreferenced
+        and are removed by the next ``clean_orphans()``. Refuses to cross
+        a compaction point (per-round history is folded away there)."""
+        for table, paths in self._manifest["tables"].items():
+            in_history = {
+                r["tables"][table]
+                for r in self._manifest["rounds"]
+                if table in r.get("tables", {})
+            }
+            stray = [p for p in paths if p not in in_history]
+            if stray:
+                raise ValueError(
+                    f"cannot rollback across compaction of '{table}': "
+                    f"{stray[:3]}"
+                )
+        kept = [
+            r for r in self._manifest["rounds"] if r["round"] <= round_id
+        ]
+        dropped = [
+            r for r in self._manifest["rounds"] if r["round"] > round_id
+        ]
+        tables: dict[str, list[str]] = {}
+        for r in kept:
+            for table, path in r.get("tables", {}).items():
+                tables.setdefault(table, []).append(path)
+        self._manifest["rounds"] = kept
+        self._manifest["tables"] = tables
+        self._commit_manifest()
+        return dropped
 
     def rounds(self) -> list[dict]:
         return list(self._manifest["rounds"])
