@@ -38,6 +38,7 @@ HEADLINE = [
     "window_topk",
     "window_running",
     "sessionize",
+    "asof_join",
     "broadcast_join",
     "anti_join_seen",
     "semi_join",
@@ -49,9 +50,16 @@ HEADLINE = [
     "token_count",
     "quality_score",
     "lang_id",
+    "quality_filter",
+    "stratified_sample",
+    "repetition_stats",
+    "pii_scrub",
     "fingerprint_md5",
     "dedup_exact",
     "ngram_jaccard_dedup",
+    # right after ngram so the shared shingle cache is warm for both
+    "dedup_clusters",
+    "ngram_df_topk",
     "dedup_pipeline",
     "minhash_lsh_dedup",
     "simhash_dedup",

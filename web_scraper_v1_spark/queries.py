@@ -1422,6 +1422,170 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RATE_CASE_SQL = (
+    "CASE lang "
+    + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items() if k != "und"
+    )
+    + f" ELSE {_STRATA_RATES['und']} END"
+)
+
+
+@_q(
+    "curation_pipeline",
+    f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS dw
+      FROM documents
+    ), scores AS (
+      {_LANG_SCORES_SQL}
+    ), parts AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) AS len_term,
+        1.0 - least(
+          (CAST(len(list_filter(w, t -> list_contains({_STOP_SQL}, t)))
+                AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 2.0, 1.0)
+          AS stop_term,
+        1.0 - least(
+          (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 4.0, 1.0)
+          AS punct_term
+      FROM tok
+    ), qual AS (
+      SELECT p.doc_id, {_LANG_CASE_SQL} AS lang,
+             round(p.len_term * p.stop_term * p.punct_term, 6) AS quality,
+             p.n_tokens
+      FROM parts p JOIN scores USING (doc_id)
+    ), fp AS (
+      SELECT doc_id,
+             min(doc_id) OVER (PARTITION BY
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))))
+               AS fp_min
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM tok WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                   AS DOUBLE), 6) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b AS src, id_a AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    ), hashed AS (
+      SELECT doc_id,
+             CAST([ (strpos('0123456789abcdef',
+                       substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)
+                    * CAST(16 ** (4 - i) AS BIGINT)
+                    FOR i IN range(1, 5) ] AS BIGINT[]) AS nibbles
+      FROM documents
+    ), buckets AS (
+      SELECT doc_id,
+             (nibbles[1] + nibbles[2] + nibbles[3] + nibbles[4]) % 100
+               AS bucket
+      FROM hashed
+    ), decided AS (
+      SELECT q.doc_id, q.lang,
+        CASE WHEN q.n_tokens < 8 THEN 'too_short'
+             WHEN q.lang = 'und' THEN 'unknown_lang'
+             WHEN q.quality < 0.1 THEN 'low_quality'
+             WHEN f.fp_min <> q.doc_id THEN 'exact_dup'
+             WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> q.doc_id
+               THEN 'near_dup'
+             WHEN b.bucket >= ({_RATE_CASE_SQL}) THEN 'sampled_out'
+        END AS reject_reason
+      FROM qual q
+      JOIN fp f ON f.doc_id = q.doc_id
+      LEFT JOIN comp c ON c.id = q.doc_id
+      JOIN buckets b ON b.doc_id = q.doc_id
+    )
+    SELECT doc_id, lang, reject_reason,
+           reject_reason IS NULL AS keep
+    FROM decided
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation decision a training-data run executes per
+    document, first-failing-rule: quality gates (length, language,
+    heuristic score) -> exact dedup (keep lowest id per normalized-text
+    md5) -> near-dup clustering (connected components over exact n-gram
+    Jaccard pairs, non-canonical members dropped) -> deterministic
+    per-language stratified sampling. Every stage is the hash-certified
+    building block from its standalone query; what this adds (and the
+    oracle re-proves end-to-end) is the composition and precedence.
+
+    Scale shape: the quality/fingerprint/bucket columns are scan-side maps;
+    the pipeline's shuffles are the fingerprint window, the near-dup
+    posting join, and the cluster propagation rounds — each already
+    individually scale-audited. The decision table (doc_id, reason) is
+    what a 100 TB run materializes for lineage."""
+    from web_scraper_v1_spark.operators.graph import cluster_assignments
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        TX.fingerprint_md5(F.col("text")).alias("fp"),
+    ).withColumn(
+        "fp_min", F.min("doc_id").over(Window.partitionBy("fp"))
+    )
+    clusters = cluster_assignments(
+        DD.ngram_jaccard_pairs(d, threshold=0.8)
+    ).select("doc_id", "cluster_id")
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in _STRATA_RATES.items() for x in kv]
+    )
+    rate = F.coalesce(
+        rate_map[F.col("lang")], F.lit(_STRATA_RATES["und"])
+    ).cast("long")
+    reason = (
+        F.when(F.col("n_tokens") < 8, F.lit("too_short"))
+        .when(F.col("lang") == "und", F.lit("unknown_lang"))
+        .when(F.col("quality") < 0.1, F.lit("low_quality"))
+        .when(F.col("doc_id") != F.col("fp_min"), F.lit("exact_dup"))
+        .when(
+            F.col("cluster_id").isNotNull()
+            & (F.col("cluster_id") != F.col("doc_id")),
+            F.lit("near_dup"),
+        )
+        .when(bucket >= rate, F.lit("sampled_out"))
+    )
+    return (
+        base.join(clusters, "doc_id", "left")
+        .withColumn("reject_reason", reason)
+        .select(
+            "doc_id",
+            "lang",
+            "reject_reason",
+            F.col("reject_reason").isNull().alias("keep"),
+        )
+    )
+
+
 @_q(
     "repetition_stats",
     """
