@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_clusters",
     "ngram_df_topk",
     "dedup_pipeline",
+    "curation_pipeline",
     "minhash_lsh_dedup",
     "simhash_dedup",
     "ann_bruteforce",
