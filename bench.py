@@ -31,6 +31,7 @@ HEADLINE = [
     "robots_filter",
     "link_extract",
     "frontier_growth",
+    "host_pagerank",
     "host_rate_window",
     "host_cumulative",
     # relational core

@@ -61,3 +61,30 @@ def test_cluster_assignments_sizes_and_keep(spark):
         1: 3, 2: 3, 3: 3, 10: 2, 11: 2,
     }
     assert {d for d, r in rows.items() if r.keep} == {1, 10}
+
+
+def test_pagerank_cycle_uniform(spark):
+    # directed 4-cycle: stationary distribution is exactly uniform, and
+    # every iteration preserves it — rank stays 1/4 per node to the bit
+    from web_scraper_v1_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank(e, n_iter=5).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for v in got.values():
+        assert abs(v - 0.25) < 1e-9
+
+
+def test_pagerank_star_center_dominates(spark):
+    from web_scraper_v1_spark.operators.graph import pagerank
+
+    # leaves all point at the hub; hub points back at one leaf
+    e = spark.createDataFrame(
+        [(i, 0) for i in range(1, 6)] + [(0, 1)], "src long, dst long"
+    )
+    got = {r.id: r.rank for r in pagerank(e, n_iter=5).collect()}
+    assert got[0] == max(got.values())
+    assert got[1] > got[2]  # the hub's one outlink target beats other leaves
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # no dangling nodes -> mass conserved

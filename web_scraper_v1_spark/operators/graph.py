@@ -86,6 +86,76 @@ def connected_components(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a (src, dst) edge list: (id, rank).
+
+    The per-edge contribution ``rank/out_deg`` is rounded to an int64 at
+    1e-9 resolution BEFORE the per-destination sum. That makes the only
+    order-sensitive step (summing many contributions) an exact integer
+    aggregation: the result is bit-identical regardless of partitioning /
+    combine order — which is both what lets the DuckDB oracle replay it
+    exactly and what a 100 TB run wants anyway (re-runs reproduce the
+    same ranks to the bit; naive double sums drift with shuffle order).
+    The 1e-9 quantization error per incoming edge is orders of magnitude
+    below any ranking use of PageRank.
+
+    Plan shape per iteration: one equi-join (edges x ranks, keyed by src)
+    and one map-side-combinable integer groupBy on dst — the same shapes
+    as ``connected_components``; driver-side loop with localCheckpoint
+    keeps lineage flat. Dangling mass is not redistributed (the standard
+    simplified formulation; replayed identically by the oracle)."""
+    e = edges.select("src", "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    outd = e.groupBy("src").agg(
+        F.count("*").cast("double").alias("out_deg")
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    try:
+        for _ in range(n_iter):
+            contrib = (
+                e.join(ranks, e["src"] == ranks["id"])
+                .join(outd, "src")
+                .select(
+                    F.col("dst").alias("id"),
+                    F.round(
+                        F.col("rank") / F.col("out_deg") * F.lit(1e9)
+                    )
+                    .cast("long")
+                    .alias("c"),
+                )
+            )
+            incoming = contrib.groupBy("id").agg(F.sum("c").alias("s"))
+            ranks = (
+                nodes.join(incoming, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit((1 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                            / F.lit(1e9)
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+    return ranks
+
+
 def cluster_assignments(
     pairs: DataFrame,
     src: str = "id_a",

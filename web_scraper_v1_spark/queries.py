@@ -1158,6 +1158,81 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(links).alias("link"))
 
 
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    """Unrolled-CTE PageRank replay (recursive members can't aggregate in
+    standard SQL, so each iteration is its own contribution-sum + rank
+    CTE pair). The host graph derives from the same doc_id % 37 URL-corpus
+    convention as link_extract; per-edge contributions are int64-rounded
+    at 1e-9 before summing, so the only order-sensitive step is exact in
+    both engines (operators/graph.pagerank)."""
+    sql = """
+    WITH links AS (
+      SELECT doc_id % 37 AS src, (doc_id * 7 + 1) % 37 AS dst FROM documents
+      UNION ALL
+      SELECT doc_id % 37 AS src, (doc_id * 11 + 2) % 37 AS dst FROM documents
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM links WHERE src <> dst
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+      UNION SELECT DISTINCT dst AS id FROM edges
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), outd AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS out_deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT id, 1.0 / n AS r FROM nodes CROSS JOIN nn
+    )"""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        sql += f""", c{i} AS (
+      SELECT e.dst AS id,
+             SUM(CAST(round(p.r / o.out_deg * 1000000000.0) AS BIGINT)) AS s
+      FROM edges e JOIN {prev} p ON p.id = e.src JOIN outd o ON o.src = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT nodes.id,
+             (1 - 0.85) / n
+             + 0.85 * (CAST(COALESCE(c{i}.s, 0) AS DOUBLE) / 1000000000.0)
+               AS r
+      FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.id = nodes.id
+    )"""
+        prev = f"r{i}"
+    return sql + f"""
+    SELECT id AS host, CAST(round(r * 1000000.0) AS BIGINT) AS rank_ppm
+    FROM {prev}
+    """
+
+
+@_q("host_pagerank", _pagerank_oracle())
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level PageRank over the crawl's link graph (5 iterations,
+    d=0.85) — the frontier PRIORITY signal a production crawler feeds
+    back into per_host_topk's priority column. Graph derives from the
+    same deterministic doc_id % 37 host convention as link_extract;
+    operators/graph.pagerank does the iterating with exact-int64
+    contribution sums (bit-reproducible under any partitioning — see its
+    docstring), so the oracle replays all 5 iterations exactly. Output in
+    parts-per-million to stay in exact-integer space end-to-end."""
+    from web_scraper_v1_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    links = d.select(
+        (F.col("doc_id") % 37).alias("src"),
+        ((F.col("doc_id") * 7 + 1) % 37).alias("dst"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") % 37).alias("src"),
+            ((F.col("doc_id") * 11 + 2) % 37).alias("dst"),
+        )
+    )
+    edges = links.distinct().filter(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, n_iter=5, damping=0.85)
+    return ranks.select(
+        F.col("id").alias("host"),
+        F.round(F.col("rank") * F.lit(1e6)).cast("long").alias("rank_ppm"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Text analysis (training-data pipeline layer)
 # --------------------------------------------------------------------------
