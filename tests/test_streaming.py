@@ -132,3 +132,116 @@ def test_stateful_totals_equal_batch_twin(spark, queue_dir, tmp_path):
     for r in sorted(twin, key=lambda r: (r.host, r.window_start)):
         per_host[r.host] = per_host.get(r.host, 0) + r.batch_urls
         assert r.total_urls == per_host[r.host]
+
+
+def test_streaming_session_windows_merge_and_close(spark, tmp_path):
+    """session_metrics: events within the gap merge into one session
+    (start..last+gap), a gap opens a new one, and append mode emits
+    exactly the sessions the final watermark has passed."""
+    from web_scraper_v1_spark.streaming.results_stream import session_metrics
+
+    qdir = str(tmp_path / "sess_q")
+    secs = [0, 10, 20, 200]
+    rows = [
+        (
+            "http://a.example.com/p", "UA", "ip", "a.example.com",
+            T0 + dt.timedelta(seconds=s),
+        )
+        for s in secs
+    ] + [
+        # far-future flush event advances the watermark past every
+        # session above, so availableNow emits them all deterministically
+        (
+            "http://z.example.com/p", "UA", "ip", "z.example.com",
+            T0 + dt.timedelta(seconds=10_000),
+        )
+    ]
+    encode_results(spark.createDataFrame(rows, RESULT_MSG_SCHEMA)).write.mode(
+        "append"
+    ).text(qdir)
+    stream = decode_results(read_results_stream(spark, qdir))
+    out = run_to_sink(
+        session_metrics(stream, gap="45 seconds", watermark="1 seconds"),
+        str(tmp_path / "ck_sess"),
+        "sess_sink",
+        output_mode="append",
+    )
+    a = {
+        (r.session_start, r.session_end, r.n_urls)
+        for r in out
+        if r.host == "a.example.com"
+    }
+    assert a == {
+        (T0, T0 + dt.timedelta(seconds=65), 3),       # 0,10,20 merged
+        (
+            T0 + dt.timedelta(seconds=200),
+            T0 + dt.timedelta(seconds=245),
+            1,
+        ),
+    }
+    # the flush session itself is NOT emitted (watermark never passed it)
+    assert not any(r.host == "z.example.com" for r in out)
+
+
+def test_session_window_batch_twin_agrees(spark):
+    """The native session_window construction must agree exactly with the
+    lag/running-sum construction the oracle-gated ``sessionize`` query
+    uses, on identical input — two independent derivations of the same
+    semantics."""
+    import itertools
+
+    from pyspark.sql import Window
+    from web_scraper_v1_spark.streaming.results_stream import session_metrics
+
+    # deterministic irregular spacing: host i%5, cumulative gaps cycle
+    # through 7..97s so some consecutive per-host deltas exceed the gap
+    rows = []
+    t = {h: 0 for h in range(5)}
+    for i, step in enumerate(itertools.islice(itertools.cycle(
+        [7, 31, 55, 97, 13, 61, 5, 43, 89, 23]
+    ), 200)):
+        h = i % 5
+        t[h] += step * 3
+        rows.append(
+            (
+                f"http://h{h}.example.com/{i}", "UA", "ip", "fh",
+                T0 + dt.timedelta(seconds=t[h]),
+            )
+        )
+    df = spark.createDataFrame(rows, RESULT_MSG_SCHEMA)
+    gap_s = 120
+    native = {
+        (r.host, r.session_start, r.session_end, r.n_urls)
+        for r in session_metrics(df, gap=f"{gap_s} seconds").collect()
+    }
+
+    host = F.substring_index(
+        F.substring_index("url", "://", -1), "/", 1
+    ).alias("host")
+    w = Window.partitionBy("host").orderBy("fetch_ts")
+    gap = F.col("fetch_ts").cast("long") - F.lag(
+        F.col("fetch_ts").cast("long")
+    ).over(w)
+    tagged = df.select(host, "fetch_ts").withColumn(
+        "session_num",
+        F.sum(
+            F.when(gap.isNull() | (gap >= gap_s), 1).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    twin = {
+        (
+            r.host,
+            r.session_start,
+            r.session_end + dt.timedelta(seconds=gap_s),
+            r.n_urls,
+        )
+        for r in tagged.groupBy("host", "session_num")
+        .agg(
+            F.min("fetch_ts").alias("session_start"),
+            F.max("fetch_ts").alias("session_end"),
+            F.count("*").alias("n_urls"),
+        )
+        .collect()
+    }
+    assert len(native) > 20  # the spacing actually splits sessions
+    assert native == twin

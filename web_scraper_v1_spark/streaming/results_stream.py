@@ -106,6 +106,38 @@ def host_rate_metrics(
     )
 
 
+def session_metrics(
+    decoded: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Per-host SESSION windows (gap-of-inactivity close) with a
+    watermark — Spark's native ``session_window`` on the fetch stream:
+    the streaming counterpart of the registry's ``sessionize`` query
+    (which builds the same semantics from lag + running-sum windows over
+    the batch events table; a pytest asserts the two constructions agree
+    on identical input). Append mode emits a session once the watermark
+    passes its close; state is per-(host, open-session), merged by the
+    engine when late events bridge two open sessions.
+
+    Also valid on a batch DataFrame (watermark node eliminated), which is
+    how the twin-agreement test runs this exact plan."""
+    host = F.substring_index(
+        F.substring_index("url", "://", -1), "/", 1
+    ).alias("host")
+    return (
+        decoded.withWatermark("fetch_ts", watermark)
+        .groupBy(F.session_window("fetch_ts", gap).alias("w"), host)
+        .agg(F.count("*").alias("n_urls"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "host",
+            "n_urls",
+        )
+    )
+
+
 _STATE_SCHEMA = "total LONG"
 _OUT_SCHEMA = "host STRING, batch_urls LONG, total_urls LONG"
 
