@@ -309,3 +309,43 @@ def test_ann_ivf_kmeans_training(spark):
     }
     recall2 = len(brute & got2) / len(brute)
     assert recall2 >= 0.5, f"half-sample-trained recall {recall2}"
+
+
+def test_ivf_stored_index_probe_matches_inflight(spark, tmp_path):
+    """The stored-index path (ivf_index_write -> partitionBy(cid) parquet,
+    ivf_probe_topk -> cid-IN partition-pruned read) must return EXACTLY
+    the in-flight ivf_ann_topk result for the same quantizer, and the
+    probe read's plan must carry the cid partition filter (only the
+    probed inverted-list directories are listed/read)."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # 3 queries x n_probe=4 touches at most 12 of the 16 inverted lists,
+    # so the pruning assertion below is a guaranteed strict subset
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 3)
+    idx_path = str(tmp_path / "ivf_index")
+    cents = SIM.ivf_index_write(embs, idx_path, n_centroids=16)
+    inflight = {
+        tuple(r)
+        for r in SIM.ivf_ann_topk(
+            embs, qids, dim=64, k=5, centroids=cents
+        ).collect()
+    }
+    probed_df = SIM.ivf_probe_topk(
+        spark, idx_path, embs, qids, cents, k=5, n_probe=4
+    )
+    probed = {tuple(r) for r in probed_df.collect()}
+    assert probed == inflight
+
+    # pruning is real: the index scan carries a cid IN (...) PARTITION
+    # filter (directory-level pruning at listing time, not a data filter)
+    # whose probe list is a strict subset of the stored inverted lists
+    import glob
+    import re
+
+    plan = probed_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[cid#\d+L? IN \(([^)]*)\)", plan)
+    assert m, plan
+    probed_cids = {c.strip() for c in m.group(1).split(",")}
+    all_cids = {
+        d.split("cid=")[1] for d in glob.glob(f"{idx_path}/cid=*")
+    }
+    assert probed_cids < all_cids  # strict subset: unprobed lists unread

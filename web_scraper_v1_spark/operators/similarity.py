@@ -539,6 +539,13 @@ def ivf_ann_topk(
     candidates = assigned.join(F.broadcast(probes), "cid").filter(
         F.col("id") != F.col("query_id")
     )
+    return _exact_rerank(candidates, k)
+
+
+def _exact_rerank(candidates: DataFrame, k: int) -> DataFrame:
+    """Exact cosine re-rank of (query_id, qv, qnorm, id, v, norm)
+    candidate pairs to per-query top-k — the shared tail of the in-flight
+    (ivf_ann_topk) and stored-index (ivf_probe_topk) IVF paths."""
     scored = candidates.withColumn(
         "cosine",
         F.round(
@@ -562,3 +569,88 @@ def ivf_ann_topk(
             F.col("cosine"),
         )
     )
+
+
+def ivf_index_write(
+    embs: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Materialize the IVF inverted index: the corpus is assigned ONCE and
+    written ``partitionBy("cid")`` — one directory per inverted list.
+    This is the 10^10-vector deployment shape ivf_ann_topk's docstring
+    describes: assignment cost is paid at ingest, and every probe
+    afterwards is partition pruning (``ivf_probe_topk``), no per-query
+    assignment work at all. Returns the centroid list (the quantizer —
+    persist it with the index; it is a few KB)."""
+    v = _as_double(vec_col)
+    base = embs.select(
+        F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("norm")
+    ).repartition(F.col("id"))
+    cents = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(embs, n_centroids, id_col, vec_col)
+    )
+    arr = _centroid_score_array(cents, F.col("v"))
+    assigned = base.withColumn(
+        "cid", (-F.array_max(arr)["nid"]).cast("long")
+    )
+    assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
+    return cents
+
+
+def ivf_probe_topk(
+    spark,
+    index_path: str,
+    embs: DataFrame,
+    query_ids: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over a STORED IVF index (``ivf_index_write``): the probe-cid
+    set is computed on the tiny query side with the SAME scoring kernel
+    and probe ordering as ivf_ann_topk (so both paths return identical
+    results — pytest-gated), collected (queries x n_probe ids, driver-
+    trivial), and pushed into the index read as a literal ``cid IN (...)``
+    PARTITION filter: Spark lists and reads only the probed inverted-list
+    directories — ~n_probe/C of the corpus — which a plan test asserts.
+    The rest is the shared exact re-rank."""
+    v = _as_double(vec_col)
+    qbase = embs.select(
+        F.col(id_col).alias("id"), v.alias("v"), _norm(v).alias("norm")
+    ).join(F.broadcast(query_ids.select(F.col(id_col).alias("id"))), "id")
+    arr = _centroid_score_array(centroids, F.col("v"))
+    probes = (
+        qbase.select(
+            F.col("id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qnorm"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+            ).alias("probe"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            "qnorm",
+            (-F.col("probe.nid")).cast("long").alias("cid"),
+        )
+        .persist()
+    )
+    probe_cids = sorted(
+        r.cid for r in probes.select("cid").distinct().collect()
+    )
+    idx = spark.read.parquet(index_path).filter(
+        F.col("cid").isin(probe_cids)
+    )
+    candidates = idx.join(F.broadcast(probes), "cid").filter(
+        F.col("id") != F.col("query_id")
+    )
+    return _exact_rerank(candidates, k)
