@@ -53,6 +53,7 @@ HEADLINE = [
     "lang_id",
     "quality_filter",
     "stratified_sample",
+    "quality_percentiles",
     "repetition_stats",
     "pii_scrub",
     "fingerprint_md5",

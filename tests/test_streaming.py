@@ -245,3 +245,48 @@ def test_session_window_batch_twin_agrees(spark):
     }
     assert len(native) > 20  # the spacing actually splits sessions
     assert native == twin
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """dedup_stream drops a URL re-published in a LATER micro-batch (state
+    carried across batches), keeping the first occurrence."""
+    from web_scraper_v1_spark.streaming.results_stream import dedup_stream
+
+    qdir = str(tmp_path / "dupqueue")
+    rows = [
+        (
+            f"http://host{i % 2}.example.com/p/{i % 5}",  # 5 distinct urls/host-pair
+            f"UA-{i}",
+            f"10.0.0.{i}",
+            f"host{i % 2}.example.com",
+            T0 + dt.timedelta(seconds=i),
+        )
+        for i in range(20)  # each url appears twice per file batch
+    ]
+    df = spark.createDataFrame(rows, RESULT_MSG_SCHEMA)
+    # two physical files -> maxFilesPerTrigger=1 forces >=2 micro-batches,
+    # and every url in the second file already appeared in the first
+    first = df.orderBy("fetch_ts").limit(10).coalesce(1)
+    second = df.orderBy("fetch_ts", ascending=False).limit(10).coalesce(1)
+    encode_results(first).write.mode("append").text(qdir)
+    encode_results(second).write.mode("append").text(qdir)
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .text(qdir)
+    )
+    deduped = dedup_stream(decode_results(stream))
+    out = run_to_sink(
+        deduped, str(tmp_path / "ckdd"), "dedup_sink", output_mode="append"
+    )
+    urls = [r["url"] for r in out]
+    n_distinct = df.select("url").distinct().count()
+    assert len(urls) == len(set(urls)) == n_distinct
+    # first-occurrence wins: surviving fetch_ts is the min per url
+    expect_first = {
+        r["url"]: r["min_ts"]
+        for r in df.groupBy("url").agg(F.min("fetch_ts").alias("min_ts")).collect()
+    }
+    got = {r["url"]: r["fetch_ts"] for r in out}
+    assert got == expect_first

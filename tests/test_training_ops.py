@@ -349,3 +349,39 @@ def test_ivf_stored_index_probe_matches_inflight(spark, tmp_path):
         d.split("cid=")[1] for d in glob.glob(f"{idx_path}/cid=*")
     }
     assert probed_cids < all_cids  # strict subset: unprobed lists unread
+
+
+def test_quality_percentiles_matches_bruteforce(spark):
+    """quality_percentiles (histogram path, no per-group sort) must equal
+    a brute-force nearest-rank percentile over the binned quality values."""
+    import math
+
+    from web_scraper_v1_spark import queries as Q
+
+    out = {
+        r["lang"]: r
+        for r in Q.queries()["quality_percentiles"](spark, SF).collect()
+    }
+    base = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(
+            TX.lang_id(F.col("text")).alias("lang"),
+            F.floor(TX.quality_score(F.col("text")) * F.lit(10000.0))
+            .cast("long")
+            .alias("bin"),
+        )
+        .collect()
+    )
+    by_lang: dict[str, list[int]] = {}
+    for r in base:
+        by_lang.setdefault(r["lang"], []).append(r["bin"])
+    assert set(out) == set(by_lang)
+    for lang, bins in by_lang.items():
+        bins.sort()
+        n = len(bins)
+        row = out[lang]
+        assert row["n_docs"] == n
+        for p, col in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+            expect = bins[math.ceil(p * n) - 1] / 10000.0
+            assert row[col] == expect, (lang, col)
+        assert row["p50"] <= row["p90"] <= row["p99"]

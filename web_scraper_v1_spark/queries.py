@@ -1507,6 +1507,113 @@ _RATE_CASE_SQL = (
 
 
 @_q(
+    "quality_percentiles",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
+             list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS dw
+      FROM documents
+    ), scores AS (
+      {_LANG_SCORES_SQL}
+    ), parts AS (
+      SELECT doc_id,
+        least(CAST(len(w) AS DOUBLE) / 64.0, 1.0) AS len_term,
+        1.0 - least(
+          (CAST(len(list_filter(w, t -> list_contains({_STOP_SQL}, t)))
+                AS DOUBLE) / CAST(len(w) AS DOUBLE)) * 2.0, 1.0)
+          AS stop_term,
+        1.0 - least(
+          (CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                AS DOUBLE) / CAST(length(text) AS DOUBLE)) * 4.0, 1.0)
+          AS punct_term
+      FROM tok
+    ), base AS (
+      SELECT p.doc_id, {_LANG_CASE_SQL} AS lang,
+             round(p.len_term * p.stop_term * p.punct_term, 6) AS quality
+      FROM parts p JOIN scores USING (doc_id)
+    ), hist AS (
+      SELECT lang, CAST(floor(quality * 10000.0) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM base GROUP BY lang, bin
+    ), cum AS (
+      SELECT lang, bin,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum_cnt,
+             SUM(cnt) OVER (PARTITION BY lang) AS total
+      FROM hist
+    )
+    SELECT lang, MAX(total) AS n_docs,
+           MIN(CASE WHEN cum_cnt >= CAST(ceil(0.5 * total) AS BIGINT)
+                    THEN bin END) / 10000.0 AS p50,
+           MIN(CASE WHEN cum_cnt >= CAST(ceil(0.9 * total) AS BIGINT)
+                    THEN bin END) / 10000.0 AS p90,
+           MIN(CASE WHEN cum_cnt >= CAST(ceil(0.99 * total) AS BIGINT)
+                    THEN bin END) / 10000.0 AS p99
+    FROM cum GROUP BY lang
+    """,
+)
+def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-score percentiles (nearest-rank p50/p90/p99)
+    via a FIXED-RESOLUTION HISTOGRAM — the scale-safe way to answer "keep
+    the top quartile per language" over 10^10 docs. Exact per-group
+    percentiles (Spark's ``percentile``) buffer every value of a group in
+    one aggregator, and ``approx_percentile`` is engine-specific (no
+    cross-engine parity); binning quality to 1e-4 instead makes the heavy
+    step a map-side-combinable ``groupBy(lang, bin)`` whose output is at
+    most n_langs x 10001 rows NO MATTER the input size. The window +
+    final agg then run over histogram rows only — no per-group sort of
+    documents anywhere in the plan, and the answer is exact at bin
+    resolution (quality is round(.,6) in [0,1], so 1e-4 bins are exact
+    for ranking purposes). Nearest-rank threshold ceil(p * total) is
+    computed identically in both engines (same double product, same
+    ceil-to-int), so values hash-match bitwise."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    hist = (
+        base.select(
+            "lang",
+            F.floor(F.col("quality") * F.lit(10000.0))
+            .cast("long")
+            .alias("bin"),
+        )
+        .groupBy("lang", "bin")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "bin",
+        F.sum("cnt").over(w_cum).alias("cum_cnt"),
+        F.sum("cnt").over(w_tot).alias("total"),
+    )
+
+    def pct(p: float, name: str):
+        thresh = F.ceil(F.lit(p) * F.col("total"))
+        return (
+            F.min(F.when(F.col("cum_cnt") >= thresh, F.col("bin")))
+            / F.lit(10000.0)
+        ).alias(name)
+
+    return cum.groupBy("lang").agg(
+        F.max("total").alias("n_docs"),
+        pct(0.5, "p50"),
+        pct(0.9, "p90"),
+        pct(0.99, "p99"),
+    )
+
+
+@_q(
     "curation_pipeline",
     f"""
     WITH RECURSIVE tok AS (

@@ -138,6 +138,21 @@ def session_metrics(
     )
 
 
+def dedup_stream(decoded: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact URL dedup across micro-batches — the seen set
+    (O16/O17) as a streaming operator. ``dropDuplicatesWithinWatermark``
+    keeps per-URL state only until the watermark passes the record's event
+    time, so state is bounded by the stream's lateness horizon instead of
+    growing with every URL ever seen (the streaming analog of the rotating
+    Bloom generations in ``operators/seen.py``: a re-fetch separated by
+    more than the horizon is treated as fresh — exactly the TTL-recrawl
+    semantics, O16's expiry). First occurrence wins; later duplicates are
+    dropped whichever micro-batch they arrive in."""
+    return decoded.withWatermark("fetch_ts", watermark).dropDuplicatesWithinWatermark(
+        ["url"]
+    )
+
+
 _STATE_SCHEMA = "total LONG"
 _OUT_SCHEMA = "host STRING, batch_urls LONG, total_urls LONG"
 
