@@ -59,6 +59,7 @@ HEADLINE = [
     "fingerprint_md5",
     "dedup_exact",
     "ngram_jaccard_dedup",
+    "bm25_score",
     # right after ngram so the shared shingle cache is warm for both
     "dedup_clusters",
     "ngram_df_topk",

@@ -385,3 +385,39 @@ def test_quality_percentiles_matches_bruteforce(spark):
             expect = bins[math.ceil(p * n) - 1] / 10000.0
             assert row[col] == expect, (lang, col)
         assert row["p50"] <= row["p90"] <= row["p99"]
+
+
+def test_bm25_matches_python_bruteforce(spark):
+    """bm25_score (scan-side tf + one-row stats broadcast) must equal a
+    plain-Python BM25 with the same rational-idf formula."""
+    from web_scraper_v1_spark import queries as Q
+    from web_scraper_v1_spark.queries import _BM25_TERMS
+
+    got = {
+        r["doc_id"]: (r["dl"], r["score_c"])
+        for r in Q.queries()["bm25_score"](spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n = float(len(docs))
+    sum_dl = float(sum(len(w) for w in docs.values()))
+    dfs = {
+        t: float(sum(1 for w in docs.values() if t in w))
+        for t in _BM25_TERMS
+    }
+    for doc_id, w in docs.items():
+        dl = len(w)
+        score = 0
+        for t in _BM25_TERMS:
+            tf = float(w.count(t))
+            idf = ((n - dfs[t]) + 0.5) / (dfs[t] + 0.5)
+            denom = tf + (1.2 * (0.25 + (0.75 * (float(dl) / (sum_dl / n)))))
+            contrib = (idf * ((tf * 2.2) / denom)) * 1e9
+            # Spark round() is HALF_UP on positives; python round() is
+            # banker's — emulate HALF_UP
+            import math
+
+            score += int(math.floor(contrib + 0.5))
+        assert got[doc_id] == (dl, score), doc_id

@@ -1932,6 +1932,116 @@ def q_ngram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 relevance scoring against a fixed query-term set. The idf is the
+# LOG-FREE rational variant (N - df + 0.5) / (df + 0.5): ln() is not
+# correctly-rounded IEEE, so Spark (Java Math.log) and DuckDB (libm) can
+# differ in the last ulp and break the value-hash gate; every operation in
+# the rational form (+, -, *, /) IS correctly rounded, making the score
+# bit-identical across engines with the same op order. Ranking order is
+# preserved for any monotone idf.
+_BM25_TERMS = ("spark", "window", "hash", "merge")
+
+
+def _bm25_oracle() -> str:
+    tf_cols = ",\n        ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ",\n        ".join(
+        f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    contribs = "\n      + ".join(
+        f"CAST(round(((((n - df_{t}) + 0.5) / (df_{t} + 0.5))"
+        f" * ((CAST(tf_{t} AS DOUBLE) * 2.2)"
+        f" / (CAST(tf_{t} AS DOUBLE) + (1.2 * (0.25 + (0.75"
+        f" * (CAST(dl AS DOUBLE) / (sum_dl / n))))))))"
+        f" * 1000000000.0) AS BIGINT)"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        {tf_cols}
+      FROM tok
+    ), stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(dl) AS DOUBLE) AS sum_dl,
+        {df_cols}
+      FROM base
+    )
+    SELECT doc_id, dl,
+      {contribs} AS score_c
+    FROM base CROSS JOIN stats
+    """
+
+
+@_q("bm25_score", _bm25_oracle())
+def q_bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, rational idf — see _BM25_TERMS comment) of
+    every document against a fixed query-term set, in exact parts-per-
+    billion so the per-term contributions stay in integer space.
+
+    Scale shape — ONE data shuffle total, and it carries one row: term
+    frequencies come from native array ops on the scan side
+    (size(tok) - size(array_remove(tok, term)) — a single collection
+    pass per term, no explode of 10^12 tokens, no interpreted lambda),
+    the corpus-level stats (N, Σdl, per-term df) are one map-side-
+    combinable aggregate collapsing to a single row, and that row is
+    broadcast back for scan-side scoring. At 100 TB this is two scans of
+    the documents table and nothing else moves."""
+    d = _t(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(tok).cast("long").alias("dl"),
+        *[
+            (F.size(tok) - F.size(F.array_remove(tok, t)))
+            .cast("long")
+            .alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def contrib(t: str):
+        tf = F.col(f"tf_{t}").cast("double")
+        n, df = F.col("n"), F.col(f"df_{t}")
+        idf = ((n - df) + F.lit(0.5)) / (df + F.lit(0.5))
+        denom = tf + (
+            F.lit(1.2)
+            * (
+                F.lit(0.25)
+                + (
+                    F.lit(0.75)
+                    * (F.col("dl").cast("double") / (F.col("sum_dl") / n))
+                )
+            )
+        )
+        frac = (tf * F.lit(2.2)) / denom
+        return F.round((idf * frac) * F.lit(1e9)).cast("long")
+
+    score = contrib(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + contrib(t)
+    return scored.select("doc_id", "dl", score.alias("score_c"))
+
+
 @_q(
     "fingerprint_md5",
     """
