@@ -290,3 +290,72 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     }
     got = {r["url"]: r["fetch_ts"] for r in out}
     assert got == expect_first
+
+
+def test_stream_to_snapshots_exactly_once(spark, tmp_path):
+    """Micro-batches land as atomically-committed snapshot rounds:
+    one round per batch, resumable without duplicates, time-travelable."""
+    from web_scraper_v1_spark.sources.snapshots import SnapshotStore
+    from web_scraper_v1_spark.streaming.results_stream import (
+        stream_to_snapshots,
+    )
+
+    qdir = str(tmp_path / "queue")
+    ck = str(tmp_path / "ck")
+    store = SnapshotStore(str(tmp_path / "run"))
+    rows = [
+        (
+            f"http://h{i % 2}.ex.com/p/{i}",
+            f"UA-{i}",
+            f"10.0.0.{i}",
+            f"h{i % 2}.ex.com",
+            T0 + dt.timedelta(seconds=i),
+        )
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, RESULT_MSG_SCHEMA)
+    encode_results(df.filter(F.col("url").substr(-1, 1) < "5").coalesce(1)).write.mode(
+        "append"
+    ).text(qdir)
+    encode_results(df.filter(F.col("url").substr(-1, 1) >= "5").coalesce(1)).write.mode(
+        "append"
+    ).text(qdir)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("value STRING")
+            .option("maxFilesPerTrigger", 1)
+            .text(qdir)
+        )
+        return stream_to_snapshots(decode_results(stream), store, ck)
+
+    committed = drain()
+    assert len(committed) >= 2  # one round per micro-batch
+    read_back = store.read(spark, "results", RESULT_MSG_SCHEMA)
+    assert read_back.count() == 20
+    assert {r["url"] for r in read_back.collect()} == {r[0] for r in rows}
+
+    # time travel: after the FIRST stream round only its batch is visible
+    first = committed[0]
+    as_of = store.read_as_of(
+        spark, "results", RESULT_MSG_SCHEMA, first["round"]
+    )
+    assert as_of.count() == first["rows"] < 20
+
+    # resume with the same checkpoint: already-committed batches are
+    # replay-skipped, only the NEW file lands — exactly once end-to-end
+    encode_results(
+        df.limit(3).select(
+            F.concat(F.col("url"), F.lit("/new")).alias("url"),
+            "user_agent", "ip_address", "forwarded_host", "fetch_ts",
+        )
+    ).coalesce(1).write.mode("append").text(qdir)
+    store2 = SnapshotStore(str(tmp_path / "run"))  # fresh manifest load
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .text(qdir)
+    )
+    stream_to_snapshots(decode_results(stream), store2, ck)
+    total = store2.read(spark, "results", RESULT_MSG_SCHEMA).count()
+    assert total == 23  # 20 originals exactly once + 3 new

@@ -226,6 +226,60 @@ def cumulative_host_counts_batch(
     )
 
 
+def stream_to_snapshots(
+    decoded: DataFrame,
+    store,
+    checkpoint_dir: str,
+    table: str = "results",
+) -> list:
+    """Production sink path: drain the decoded stream into a
+    ``SnapshotStore`` with ONE atomically-committed snapshot round per
+    micro-batch — the consume->store leg of the reference's pipeline
+    (rabbitmq_consumer -> mongo SaveJob, O10+O11) with exactly-once
+    delivery instead of auto-ack at-most-once.
+
+    Exactly-once: foreachBatch alone is at-least-once (a crash between
+    sink write and checkpoint advance replays the batch). Each commit
+    therefore records its micro-batch id in the round's lineage row, and
+    a replayed batch id is skipped — write_snapshot overwrites the orphan
+    dir from the failed attempt and the manifest rename is atomic, so
+    every batch lands in the manifest exactly once whatever the crash
+    point. Round ids continue from the store's committed history, which
+    interleaves stream batches with engine crawl rounds. Returns the
+    committed round records. Bounded here with availableNow (tests /
+    drain jobs); a live deployment starts the same query without the
+    trigger."""
+    committed = {
+        r["batch_id"]
+        for r in store.rounds()
+        if r.get("stream_table") == table
+    }
+
+    def _commit(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id in committed:
+            return
+        rid = store.last_round() + 1
+        path = store.write_snapshot(batch_df, table, rid)
+        n = batch_df.sparkSession.read.parquet(path).count()
+        store.commit_round(
+            rid,
+            {table: path},
+            {"stream_table": table, "batch_id": batch_id, "rows": n},
+        )
+        committed.add(batch_id)
+
+    q = (
+        decoded.writeStream.foreachBatch(_commit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return [
+        r for r in store.rounds() if r.get("stream_table") == table
+    ]
+
+
 def run_to_sink(
     stream_df: DataFrame,
     checkpoint_dir: str,
