@@ -32,6 +32,7 @@ HEADLINE = [
     "link_extract",
     "frontier_growth",
     "host_pagerank",
+    "pagerank_priority_wave",
     "host_rate_window",
     "host_cumulative",
     # relational core

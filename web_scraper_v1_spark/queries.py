@@ -1158,10 +1158,12 @@ def q_link_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(links).alias("link"))
 
 
-def _pagerank_oracle(n_iter: int = 5) -> str:
+def _pagerank_ctes(n_iter: int = 5) -> tuple[str, str]:
     """Unrolled-CTE PageRank replay (recursive members can't aggregate in
     standard SQL, so each iteration is its own contribution-sum + rank
-    CTE pair). The host graph derives from the same doc_id % 37 URL-corpus
+    CTE pair) — returns (WITH-clause text, final rank CTE name) so both
+    ``host_pagerank`` and the composed ``pagerank_priority_wave`` reuse
+    it. The host graph derives from the same doc_id % 37 URL-corpus
     convention as link_extract; per-edge contributions are int64-rounded
     at 1e-9 before summing, so the only order-sensitive step is exact in
     both engines (operators/graph.pagerank)."""
@@ -1197,10 +1199,18 @@ def _pagerank_oracle(n_iter: int = 5) -> str:
       FROM nodes CROSS JOIN nn LEFT JOIN c{i} ON c{i}.id = nodes.id
     )"""
         prev = f"r{i}"
-    return sql + f"""
+    return sql, prev
+
+
+def _pagerank_oracle(n_iter: int = 5) -> str:
+    ctes, last = _pagerank_ctes(n_iter)
+    return (
+        ctes
+        + f"""
     SELECT id AS host, CAST(round(r * 1000000.0) AS BIGINT) AS rank_ppm
-    FROM {prev}
+    FROM {last}
     """
+    )
 
 
 @_q("host_pagerank", _pagerank_oracle())
@@ -1213,9 +1223,14 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribution sums (bit-reproducible under any partitioning — see its
     docstring), so the oracle replays all 5 iterations exactly. Output in
     parts-per-million to stay in exact-integer space end-to-end."""
+    return _host_ranks(_t(spark, sf_dir, "documents"))
+
+
+def _host_ranks(d: DataFrame) -> DataFrame:
+    """(host, rank_ppm) over the doc_id %% 37 host graph — shared by
+    ``host_pagerank`` and ``pagerank_priority_wave``."""
     from web_scraper_v1_spark.operators.graph import pagerank
 
-    d = _t(spark, sf_dir, "documents")
     links = d.select(
         (F.col("doc_id") % 37).alias("src"),
         ((F.col("doc_id") * 7 + 1) % 37).alias("dst"),
@@ -1230,6 +1245,56 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("id").alias("host"),
         F.round(F.col("rank") * F.lit(1e6)).cast("long").alias("rank_ppm"),
+    )
+
+
+def _pagerank_priority_oracle() -> str:
+    ctes, last = _pagerank_ctes(5)
+    return (
+        ctes
+        + f""", ranks AS (
+      SELECT id AS host, CAST(round(r * 1000000.0) AS BIGINT) AS rank_ppm
+      FROM {last}
+    ), wave AS (
+      SELECT doc_id % 37 AS host, doc_id FROM documents
+      QUALIFY row_number() OVER (PARTITION BY doc_id % 37
+                                 ORDER BY doc_id) <= 2
+    )
+    SELECT w.host, w.doc_id, r.rank_ppm
+    FROM wave w JOIN ranks r ON r.host = w.host
+    ORDER BY r.rank_ppm DESC, w.host, w.doc_id
+    LIMIT 40
+    """
+    )
+
+
+@_q("pagerank_priority_wave", _pagerank_priority_oracle())
+def q_pagerank_priority_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The graph layer feeding the crawl layer: this round's fetch slots
+    go to the most important hosts first. Per-host politeness top-k
+    (salted, salt-independent) is computed as usual, host PageRank is
+    joined in as a BROADCAST (n_hosts rows — always broadcastable; at
+    10^10 URLs the rank table is still only as big as the host universe),
+    and a global budget of 40 slots is cut by (rank desc, host, queue)
+    — a deterministic total order, so the LIMIT is reproducible. The
+    oracle replays all 5 PageRank iterations AND the wave selection in
+    one statement, proving the composition end-to-end."""
+    d = _t(spark, sf_dir, "documents")
+    ranks = _host_ranks(d)
+    frontier = d.select(
+        (F.col("doc_id") % 37).alias("host"),
+        F.col("doc_id").alias("queue_seq"),
+        F.xxhash64(F.col("doc_id")).alias("url_hash"),
+        "doc_id",
+    )
+    wave = per_host_topk(frontier, k=2, salt_buckets=4).filter(
+        F.col("selected")
+    )
+    return (
+        wave.join(F.broadcast(ranks), "host")
+        .orderBy(F.desc("rank_ppm"), F.asc("host"), F.asc("doc_id"))
+        .limit(40)
+        .select("host", "doc_id", "rank_ppm")
     )
 
 
