@@ -1613,7 +1613,7 @@ _RATE_CASE_SQL = (
              SUM(cnt) OVER (PARTITION BY lang) AS total
       FROM hist
     )
-    SELECT lang, MAX(total) AS n_docs,
+    SELECT lang, CAST(MAX(total) AS BIGINT) AS n_docs,
            MIN(CASE WHEN cum_cnt >= CAST(ceil(0.5 * total) AS BIGINT)
                     THEN bin END) / 10000.0 AS p50,
            MIN(CASE WHEN cum_cnt >= CAST(ceil(0.9 * total) AS BIGINT)
