@@ -59,8 +59,8 @@ HEADLINE = [
     "pii_scrub",
     "fingerprint_md5",
     "dedup_exact",
-    "ngram_jaccard_dedup",
     "bm25_score",
+    "ngram_jaccard_dedup",
     # right after ngram so the shared shingle cache is warm for both
     "dedup_clusters",
     "ngram_df_topk",
