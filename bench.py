@@ -60,6 +60,7 @@ HEADLINE = [
     "fingerprint_md5",
     "dedup_exact",
     "bm25_score",
+    "decontaminate",
     "ngram_jaccard_dedup",
     # right after ngram so the shared shingle cache is warm for both
     "dedup_clusters",

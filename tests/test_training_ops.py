@@ -421,3 +421,35 @@ def test_bm25_matches_python_bruteforce(spark):
 
             score += int(math.floor(contrib + 0.5))
         assert got[doc_id] == (dl, score), doc_id
+
+
+def test_decontaminate_matches_python_bruteforce(spark):
+    """decontaminate (broadcast eval shingles, no explode shuffle) must
+    equal a plain-Python 8-gram intersection between eval and train."""
+    from web_scraper_v1_spark import queries as Q
+
+    got = {
+        (r["train_doc_id"], r["eval_doc_id"]): r["n_hits"]
+        for r in Q.queries()["decontaminate"](spark, SF).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"].strip().lower().split()
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    sh = {
+        d: {" ".join(w[i : i + 8]) for i in range(len(w) - 7)}
+        for d, w in docs.items()
+        if len(w) >= 8
+    }
+    expect = {}
+    for ed, es in sh.items():
+        if ed % 7 != 0:
+            continue
+        for td, ts in sh.items():
+            if td % 7 == 0:
+                continue
+            n = len(es & ts)
+            if n:
+                expect[(td, ed)] = n
+    assert got == expect
+    assert expect  # non-vacuous: the fixture corpus has contamination

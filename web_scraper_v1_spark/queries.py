@@ -1997,6 +1997,70 @@ def q_ngram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "decontaminate",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, array_to_string(w[i+1:i+8], ' ') AS s
+      FROM tok, UNNEST(range(0, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8
+    ), eval_sh AS (
+      SELECT DISTINCT doc_id AS eval_doc_id, s FROM sh WHERE doc_id % 7 = 0
+    ), train_sh AS (
+      SELECT DISTINCT doc_id AS train_doc_id, s FROM sh
+      WHERE doc_id % 7 <> 0
+    )
+    SELECT train_doc_id, eval_doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM train_sh JOIN eval_sh USING (s)
+    GROUP BY train_doc_id, eval_doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: find training documents sharing any
+    word-8-gram with a held-out eval set (docs with doc_id %% 7 == 0
+    stand in for the benchmark; n_hits = number of distinct shared
+    8-grams). The step every serious training-data pipeline runs and the
+    classic asymmetric-size join: benchmarks are tiny next to a 100 TB
+    corpus, so the eval shingle relation is BROADCAST and the training
+    side streams scan->shingle->broadcast-hash-join with no shuffle of
+    the exploded token stream — only actual contamination hits (rare by
+    construction) reach the aggregation exchange. Shingles join as
+    strings here so the DuckDB twin replays them verbatim; at 10^12
+    tokens they'd be 8-byte hashes from the same Arrow kernel the dedup
+    layer uses (operators/dedup.py), identical plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    sh = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("tok"))
+        .filter(F.size("tok") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(tok) - 8),"
+                        " i -> array_join(slice(tok, i + 1, 8), ' '))"
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    ev = sh.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    tr = sh.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
 # BM25 relevance scoring against a fixed query-term set. The idf is the
 # LOG-FREE rational variant (N - df + 0.5) / (df + 0.5): ln() is not
 # correctly-rounded IEEE, so Spark (Java Math.log) and DuckDB (libm) can
