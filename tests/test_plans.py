@@ -216,3 +216,17 @@ def test_sessionize_single_shuffle(spark):
     assert plan.count("Exchange (") == 1, plan
     # map-side partial aggregation before the final one
     assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_decontaminate_broadcasts_eval_side_only(spark):
+    """Decontamination's train-side shingle stream must flow scan ->
+    explode -> broadcast hash join with NO exchange before the join (the
+    eval relation is the broadcast); the only data shuffle is the
+    (train, eval) aggregation over actual contamination hits."""
+    plan = plan_of(Q.queries()["decontaminate"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # exactly one broadcast (eval shingles) and one shuffle (final agg)
+    assert plan.count("BroadcastExchange (") == 1, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    # the shuffle is the aggregation's, fed by a partial aggregate
+    assert "partial_count" in plan
