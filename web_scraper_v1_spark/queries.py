@@ -1227,7 +1227,7 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _host_ranks(d: DataFrame) -> DataFrame:
-    """(host, rank_ppm) over the doc_id %% 37 host graph — shared by
+    """(host, rank_ppm) over the doc_id % 37 host graph — shared by
     ``host_pagerank`` and ``pagerank_priority_wave``."""
     from web_scraper_v1_spark.operators.graph import pagerank
 
@@ -2021,7 +2021,7 @@ def q_ngram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark DECONTAMINATION: find training documents sharing any
-    word-8-gram with a held-out eval set (docs with doc_id %% 7 == 0
+    word-8-gram with a held-out eval set (docs with doc_id % 7 == 0
     stand in for the benchmark; n_hits = number of distinct shared
     8-grams). The step every serious training-data pipeline runs and the
     classic asymmetric-size join: benchmarks are tiny next to a 100 TB
