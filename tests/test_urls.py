@@ -50,3 +50,50 @@ def test_url_hash_is_stable_and_distinct(spark):
     a = sorted(r.h for r in hashed.collect())
     b = sorted(r.h for r in hashed.collect())
     assert a == b
+
+
+def test_canonicalize_property_grid(spark):
+    """Combinatorial property check over the URL component space:
+    (1) Spark == pure-Python twin on every combination, (2) canonicalize
+    is IDEMPOTENT (dedup keys must be stable under re-canonicalization —
+    a frontier row written by one round and re-read by another passes
+    through the function again), (3) canonical invariants hold: lowercase
+    scheme/authority, no default port, no bare trailing '?', non-empty
+    path for URL-shaped inputs."""
+    import itertools
+
+    schemes = ["http", "HTTPS", "ftp", ""]
+    hosts = ["Host0.Example.COM", "a.com", "user@B.org"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/x/Y", "/page/1"]
+    queries = ["", "?", "?q=1&Z=%20"]
+    frags = ["", "#Frag"]
+    urls = []
+    for s, h, po, pa, q, f in itertools.product(
+        schemes, hosts, ports, paths, queries, frags
+    ):
+        u = f"{s}://{h}{po}{pa}{q}{f}" if s else f"{h}{po}{pa}{q}{f}"
+        urls.append(u)
+        urls.append(f"  {u} ")  # whitespace wrapper
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = df.select(
+        "url",
+        U.canonicalize(F.col("url")).alias("c1"),
+        U.canonicalize(U.canonicalize(F.col("url"))).alias("c2"),
+    ).collect()
+    for r in rows:
+        expect = fx.canonicalize_url(r.url)
+        assert r.c1 == expect, (r.url, r.c1, expect)
+        # idempotence, both engines
+        assert r.c2 == r.c1, (r.url, r.c1, r.c2)
+        assert fx.canonicalize_url(expect) == expect, r.url
+        if "://" in r.c1:
+            scheme, rest = r.c1.split("://", 1)
+            assert scheme == scheme.lower()
+            authority = rest.split("/", 1)[0]
+            assert authority == authority.lower()
+            assert not (scheme == "http" and authority.endswith(":80"))
+            assert not (scheme == "https" and authority.endswith(":443"))
+            assert not r.c1.endswith("?")
+            assert "#" not in r.c1
+            assert "/" in rest or not rest, r.c1  # path present
