@@ -44,6 +44,31 @@ def test_edge_direction_irrelevant(spark):
     assert got == {(2, 2), (5, 2), (9, 2)}
 
 
+def test_int64_wrapping_label_sum_does_not_fake_convergence(spark):
+    # Crafted so the ROUND-1 label-sum decrease is exactly 2^64: an int64
+    # convergence sum would wrap to the same value as the pre-round sum
+    # (initial sum = 2^64 + 11 wraps to 11; round-1 sum = 11) and declare
+    # convergence while node (2^63 - 1) still carries label 5, not 0.
+    # The decimal(38,0) sum sees 2^64 + 11 != 11 and keeps iterating.
+    big1, big2 = (1 << 63) - 1, (1 << 63) - 2
+    e = _edges(spark, [(0, 5), (5, big1), (1, big2), (2, 6)])
+    got = {(r.id, r.label) for r in connected_components(e).collect()}
+    assert got == {
+        (0, 0), (5, 0), (big1, 0),
+        (1, 1), (big2, 1),
+        (2, 2), (6, 2),
+    }
+
+
+def test_pagerank_empty_edges_returns_empty(spark):
+    from web_scraper_v1_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame([], "src long, dst long")
+    out = pagerank(e, n_iter=3)
+    assert out.columns == ["id", "rank"]
+    assert out.count() == 0
+
+
 def test_max_iter_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(

@@ -63,7 +63,13 @@ def connected_components(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # Convergence sums are taken over decimal(38,0), not int64: labels are
+    # node ids, and with 64-bit hash ids at 10^10 nodes an int64 label-sum
+    # wraps (Spark non-ANSI sum overflows silently), which could in
+    # principle mask a round's progress as "unchanged". decimal(38,0)
+    # holds the exact sum of 10^10 63-bit values with ~9 digits to spare.
+    _exact_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_exact_sum).collect()[0][0]
     try:
         for _ in range(max_iter):
             prop = sym.join(
@@ -75,7 +81,7 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
                 .localCheckpoint(eager=True)
             )
-            new_sum = labels.agg(F.sum("label")).collect()[0][0]
+            new_sum = labels.agg(_exact_sum).collect()[0][0]
             if new_sum == prev_sum:
                 return labels
             prev_sum = new_sum
@@ -116,6 +122,11 @@ def pagerank(
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id long, rank double")
     outd = e.groupBy("src").agg(
         F.count("*").cast("double").alias("out_deg")
     )
