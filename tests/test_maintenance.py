@@ -94,6 +94,67 @@ def test_compaction_of_host_bucket_partitioned_table(spark, tmp_path, corpus_dir
     assert hp.count() > 0
 
 
+def test_reopen_with_mismatched_host_buckets_rejected(spark, tmp_path, corpus_dir):
+    """A store written flat cannot be reopened bucketed (and vice versa):
+    mixed layouts would read flat snapshots with host_bucket=null and the
+    per-host pruned reader would silently drop their rows. The engine
+    fails fast at open instead."""
+    import pytest
+
+    pages = read_pages(spark, corpus_dir)
+    seeds = read_seeds(spark, corpus_dir).limit(6)
+    run = str(tmp_path / "run_mismatch")
+    CrawlEngine(spark, run, batch_size=10).run(seeds, pages)
+    with pytest.raises(ValueError, match="host_buckets"):
+        CrawlEngine(spark, run, batch_size=10, host_buckets=4)
+
+    run_b = str(tmp_path / "run_mismatch_b")
+    CrawlEngine(spark, run_b, batch_size=10, host_buckets=4).run(seeds, pages)
+    with pytest.raises(ValueError, match="host_buckets"):
+        CrawlEngine(spark, run_b, batch_size=10)
+    # matching config reopens fine
+    CrawlEngine(spark, run_b, batch_size=10, host_buckets=4)
+
+
+def test_resume_skips_stream_rounds_in_lineage(spark, tmp_path, corpus_dir):
+    """stream_to_snapshots commits rounds carrying only stream meta
+    ({stream_table, batch_id, rows}) into the same store as engine crawl
+    rounds; resume must take seq state from the latest ENGINE round while
+    the round counter advances past the stream rounds."""
+    pages = read_pages(spark, corpus_dir)
+    seeds = read_seeds(spark, corpus_dir).limit(6)
+    run = str(tmp_path / "run_streammix")
+    eng = CrawlEngine(spark, run, batch_size=10)
+    stats = eng.run(seeds, pages)
+    last_engine = max(s.round for s in stats)
+
+    # a stream batch lands after the crawl rounds (no engine keys)
+    store = SnapshotStore(run)
+    df = spark.createDataFrame([(1, "a")], SCHEMA)
+    path = store.write_snapshot(df, "results_stream", last_engine + 3)
+    store.commit_round(
+        last_engine + 3,
+        {"results_stream": path},
+        meta={"stream_table": "results_stream", "batch_id": 0, "rows": 1},
+    )
+
+    eng2 = CrawlEngine(spark, run, batch_size=10)
+    next_round, next_seq, _ = eng2._load_state()
+    assert next_round == last_engine + 4  # past the stream round
+    assert next_seq == max(s.seq_end for s in stats) + 1  # from engine round
+
+    # a store holding ONLY stream rounds resumes with fresh seq state
+    run2 = str(tmp_path / "run_streamonly")
+    store2 = SnapshotStore(run2)
+    p2 = store2.write_snapshot(df, "results_stream", 0)
+    store2.commit_round(
+        0, {"results_stream": p2},
+        meta={"stream_table": "results_stream", "batch_id": 0, "rows": 1},
+    )
+    eng3 = CrawlEngine(spark, run2, batch_size=10)
+    assert eng3._load_state() == (1, 0, None)
+
+
 def test_ttl_recrawl_refetches_after_expiry(spark, tmp_path, corpus_dir):
     pages = read_pages(spark, corpus_dir)
     seeds = read_seeds(spark, corpus_dir).limit(6)

@@ -74,17 +74,33 @@ def release_cached() -> None:
 # regression in BENCH_r02; round 1 got sharing implicitly from Spark's
 # plan-equality cache reuse.) Bounded: one entry per distinct input plan
 # in the session, each a ~(n_docs x shingles) frame.
-_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+# Bounded: semanticHash is 32-bit and long-lived sessions shouldn't
+# accumulate one persisted frame per distinct input plan — FIFO-evict
+# (and unpersist) beyond this many entries. A dedup pipeline touches
+# 1-2 distinct (input, n) combinations at a time.
+_SHINGLE_CACHE_MAX = 4
 
 
 def _shingles_cached(
     docs: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     key = (docs.semanticHash(), id_col, text_col, n)
-    df = _SHINGLE_CACHE.get(key)
-    if df is None:
-        df = doc_shingles(docs, id_col, text_col, n).persist()
-        _SHINGLE_CACHE[key] = df
+    hit = _SHINGLE_CACHE.get(key)
+    if hit is not None:
+        src, df = hit
+        # semanticHash is only 32 bits: verify the hit against the source
+        # plan so a collision recomputes instead of silently serving
+        # another input's shingles to all three strategies
+        if docs.sameSemantics(src):
+            return df
+        df.unpersist()
+        del _SHINGLE_CACHE[key]
+    df = doc_shingles(docs, id_col, text_col, n).persist()
+    _SHINGLE_CACHE[key] = (docs, df)
+    while len(_SHINGLE_CACHE) > _SHINGLE_CACHE_MAX:
+        oldest = next(iter(_SHINGLE_CACHE))  # dicts preserve insertion order
+        _SHINGLE_CACHE.pop(oldest)[1].unpersist()
     return df
 
 
@@ -92,7 +108,7 @@ def release_all() -> None:
     """Drop every dedup cache including the shared shingle frames."""
     release_cached()
     while _SHINGLE_CACHE:
-        _SHINGLE_CACHE.popitem()[1].unpersist()
+        _SHINGLE_CACHE.popitem()[1][1].unpersist()
 
 
 def exact_dedup(

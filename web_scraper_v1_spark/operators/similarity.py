@@ -642,10 +642,17 @@ def ivf_probe_topk(
             "qnorm",
             (-F.col("probe.nid")).cast("long").alias("cid"),
         )
-        .persist()
     )
-    probe_cids = sorted(
-        r.cid for r in probes.select("cid").distinct().collect()
+    # The probe set is driver-trivial (queries x n_probe rows): collect it
+    # ONCE and rebuild it as a literal frame, so the probe-cid extraction
+    # and the candidates join share one computation with no persisted
+    # block left behind (a .persist() here leaked one cached frame per
+    # call — nothing ever unpersisted it).
+    probe_rows = probes.collect()
+    probe_cids = sorted({r.cid for r in probe_rows})
+    probes = spark.createDataFrame(
+        probe_rows,
+        "query_id long, qv array<double>, qnorm double, cid long",
     )
     idx = spark.read.parquet(index_path).filter(
         F.col("cid").isin(probe_cids)

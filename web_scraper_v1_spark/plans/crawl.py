@@ -203,6 +203,24 @@ class CrawlEngine:
         # files instead of full-scanning the table — at 10^10 URLs the
         # difference between listing one bucket directory and 10^10 rows.
         self.host_buckets = host_buckets
+        # A store written with one partitioning cannot be reopened with
+        # another: mixed flat/partitioned snapshot dirs would read the flat
+        # rows with host_bucket=null, and host_processed's bucket-equality
+        # filter would silently drop them from per-host history. Fail fast
+        # instead (the Iceberg analog: partition-spec evolution is an
+        # explicit migration, not an open-time flag flip).
+        for table in ("seen", "processed", "frontier"):
+            if not self.store.committed_paths(table):
+                continue
+            existing = self.store.partition_column(table)
+            wanted = "host_bucket" if host_buckets else None
+            if existing != wanted:
+                raise ValueError(
+                    f"store at {run_dir!r} has '{table}' snapshots "
+                    f"partitioned by {existing!r} but the engine was opened "
+                    f"with host_buckets={host_buckets!r}; reopen with the "
+                    "matching config or compact/migrate the store first"
+                )
         # Live-fetch seam (O7): ``fetcher`` maps the selected wave
         # DataFrame to (canonical_url, status, html) — e.g.
         # sources/livefetch.live_fetch over real HTTP. None = sandbox
@@ -224,8 +242,17 @@ class CrawlEngine:
         rounds = self.store.rounds()
         if not rounds:
             return 0, 0, None
-        last = max(rounds, key=lambda m: m["round"])
-        return last["round"] + 1, last["seq_end"] + 1, last.get("next_queue_seq")
+        # Stream batches committed by streaming.stream_to_snapshots
+        # interleave with engine rounds in the same store but carry only
+        # {stream_table, batch_id, rows} meta — resume state must come
+        # from the latest round that has engine keys, while the round
+        # counter still advances past stream rounds.
+        next_round = max(m["round"] for m in rounds) + 1
+        engine_rounds = [m for m in rounds if "seq_end" in m]
+        if not engine_rounds:
+            return next_round, 0, None
+        last = max(engine_rounds, key=lambda m: m["round"])
+        return next_round, last["seq_end"] + 1, last.get("next_queue_seq")
 
     # seen/processed/frontier are host-bucket-partitioned when
     # self.host_buckets is set; general readers drop the partition column,

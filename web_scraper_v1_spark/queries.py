@@ -2671,11 +2671,44 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+# The driver's correctness harness checks the FIRST 50 registered queries
+# (CORRECTNESS_r03 stopped at entry 50 of 58, leaving the similarity family
+# unchecked and ann_ivf never-verified). Registration order is therefore a
+# verification-coverage decision, not cosmetics: emit the least-recently
+# -verified / newest queries first and demote long-stable relational
+# queries to the tail. Definition order above is unchanged — only the
+# exported dict order is prioritized.
+_VERIFY_FIRST = [
+    # never driver-verified (r1-r3) — must be first
+    "ann_ivf",
+    # green in r2 but skipped by the r3 cap, and refactored since
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "embedding_neardup",
+    "ann_bruteforce",
+    "ann_lsh",
+    "multimodal_features",
+    "winnow_fingerprint",
+    # new in round 4
+    "dedup_stream_batch",
+    "decontaminate_hashed",
+    "multimodal_real_decode",
+]
+
+
+def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
+    head = [n for n in _VERIFY_FIRST if n in _REGISTRY]
+    tail = [n for n in _REGISTRY if n not in _VERIFY_FIRST]
+    return {n: _REGISTRY[n] for n in [*head, *tail]}
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
+    return {name: fn for name, (fn, _sql) in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: sql for name, (_fn, sql) in _REGISTRY.items() if sql is not None
+        name: sql
+        for name, (_fn, sql) in _ordered().items()
+        if sql is not None
     }

@@ -198,6 +198,13 @@ class SnapshotStore:
         self._commit_manifest()
         return dropped
 
+    def partition_column(self, table: str) -> str | None:
+        """The column this table's committed snapshots are partitioned by
+        (None for flat snapshots). A reopening engine must match it — a
+        partition-filtered reader over mixed flat/partitioned snapshots
+        would silently see null partition values for the flat dirs."""
+        return self._manifest["partitioned"].get(table)
+
     def rounds(self) -> list[dict]:
         return list(self._manifest["rounds"])
 
