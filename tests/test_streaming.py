@@ -292,6 +292,76 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert got == expect_first
 
 
+def test_streaming_dedup_equals_batch_twin_with_ttl_readmission(
+    spark, tmp_path
+):
+    """The real streaming dedup (dropDuplicatesWithinWatermark, delay D)
+    must equal the oracle-gated batch twin ``dedup_stream_batch``
+    (greedy TTL re-admission, horizon D) on input whose gaps avoid the
+    watermark-ambiguous band: duplicates either within D of the last
+    kept occurrence (drop guaranteed both sides) or far enough past it
+    that an intervening batch has provably advanced the watermark beyond
+    the state's expiry (re-admission guaranteed both sides). One record
+    per micro-batch in event-time order makes watermark advance
+    deterministic."""
+    from web_scraper_v1_spark.streaming.results_stream import (
+        dedup_stream,
+        dedup_stream_batch,
+    )
+
+    qdir = str(tmp_path / "ttlqueue")
+    secs_urls = [
+        (0, "a"),    # first occurrence -> kept
+        (10, "b"),   # kept
+        (20, "d"),   # kept
+        (50, "a"),   # 50s after a@0 < D=100 -> dropped (guaranteed band)
+        (70, "d"),   # 50s after d@20 < D -> dropped
+        (250, "c"),  # kept; advances the watermark to 150 > a's state
+                     # expiry (0 + 100)
+        (260, "e"),  # kept; state CLEANUP runs at the END of a batch, so
+                     # this extra batch (processed with wm=150) is what
+                     # actually evicts a's expired state
+        (400, "a"),  # re-admitted: state gone both by twin (400 >= 100
+                     # after last kept 0) and by streaming (wm > 100)
+    ]
+    for s, u in secs_urls:
+        row = [(
+            f"http://{u}.example.com/p", "UA", "ip", f"{u}.example.com",
+            T0 + dt.timedelta(seconds=s),
+        )]
+        encode_results(
+            spark.createDataFrame(row, RESULT_MSG_SCHEMA)
+        ).coalesce(1).write.mode("append").text(qdir)
+
+    stream = (
+        spark.readStream.schema("value STRING")
+        .option("maxFilesPerTrigger", 1)
+        .text(qdir)
+    )
+    out = run_to_sink(
+        dedup_stream(decode_results(stream), watermark="100 seconds"),
+        str(tmp_path / "ckttl"),
+        "ttl_dedup_sink",
+        output_mode="append",
+    )
+    streaming_kept = {(r.url, r.fetch_ts) for r in out}
+
+    twin = dedup_stream_batch(
+        decode_results(spark.read.text(qdir)), horizon_s=100
+    ).collect()
+    twin_kept = {(r.url, r.fetch_ts) for r in twin}
+
+    expected = {
+        (f"http://{u}.example.com/p", T0 + dt.timedelta(seconds=s))
+        for s, u in [
+            (0, "a"), (10, "b"), (20, "d"), (250, "c"), (260, "e"),
+            (400, "a"),
+        ]
+    }
+    assert twin_kept == expected
+    assert streaming_kept == expected
+
+
 def test_stream_to_snapshots_exactly_once(spark, tmp_path):
     """Micro-batches land as atomically-committed snapshot rounds:
     one round per batch, resumable without duplicates, time-travelable."""

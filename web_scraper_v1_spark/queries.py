@@ -1064,6 +1064,66 @@ def q_host_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_stream_batch",
+    """
+    WITH RECURSIVE msgs AS (
+      SELECT 'http://host' || CAST((doc_id % 200) % 37 AS VARCHAR)
+             || '.example.com/doc/' || CAST(doc_id % 200 AS VARCHAR) AS url,
+             TIMESTAMP '2024-12-07 00:00:00'
+             + doc_id * INTERVAL '1 second' AS ts
+      FROM documents
+    ), numbered AS (
+      SELECT url, ts,
+             row_number() OVER (PARTITION BY url ORDER BY ts) AS rn
+      FROM msgs
+    ), kept AS (
+      SELECT url, ts FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT o.url, o.ts
+      FROM kept k JOIN numbered o ON o.url = k.url
+       AND o.ts >= k.ts + INTERVAL '300 seconds'
+       AND NOT EXISTS (
+         SELECT 1 FROM numbered o2
+         WHERE o2.url = k.url
+           AND o2.ts >= k.ts + INTERVAL '300 seconds' AND o2.ts < o.ts
+       )
+    )
+    SELECT url, ts AS fetch_ts FROM kept
+    """,
+)
+def q_dedup_stream_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated batch twin of the streaming watermark dedup
+    (``dedup_stream``, dropDuplicatesWithinWatermark): greedy first-
+    arrival dedup with TTL re-admission — keep a url's occurrence iff it
+    is the first, or >= horizon after the LAST KEPT occurrence. The url
+    corpus plants duplicates at 200 s gaps against a 300 s horizon, so
+    both the drop branch (2nd occurrence) and the re-admission branch
+    (3rd occurrence, 400 s after the last kept) are exercised. The DuckDB
+    twin replays the greedy recurrence as a recursive CTE (next kept =
+    earliest occurrence past the horizon — the dedup_clusters playbook).
+    The real streaming operator is pytest-gated equal to this twin
+    (tests/test_streaming.py) outside the watermark-ambiguous band."""
+    from web_scraper_v1_spark.streaming.results_stream import (
+        dedup_stream_batch,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.col("doc_id") % 200
+    h = (key % 37).cast("string")
+    decoded = d.select(
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/doc/"),
+            key.cast("string"),
+        ).alias("url"),
+        (
+            F.lit("2024-12-07 00:00:00").cast("timestamp")
+            + F.make_interval(secs=F.col("doc_id").cast("double"))
+        ).alias("fetch_ts"),
+    )
+    return dedup_stream_batch(decoded, horizon_s=300)
+
+
+@_q(
     "frontier_growth",
     f"""
     WITH seeds AS (

@@ -153,6 +153,49 @@ def dedup_stream(decoded: DataFrame, watermark: str = "10 minutes") -> DataFrame
     )
 
 
+def dedup_stream_batch(decoded: DataFrame, horizon_s: int = 300) -> DataFrame:
+    """Batch twin of ``dedup_stream`` with the state-expiry axis made
+    explicit: per url, occurrences in event-time order, keep the first;
+    keep a later occurrence iff its ``fetch_ts`` is at least ``horizon_s``
+    after the LAST KEPT occurrence (TTL re-admission — the recrawl
+    semantics of the rotating seen set, O16 expiry); drop it otherwise.
+    Returns the kept (url, fetch_ts) records.
+
+    Correspondence contract with the streaming operator (the same band
+    Spark documents for ``dropDuplicatesWithinWatermark``): duplicates
+    within the watermark delay ``D`` of the last kept record are dedup-
+    GUARANTEED; occurrences more than ~2D later are re-admit-guaranteed
+    (the watermark has provably passed the state's expiry by the time
+    they arrive); between D and 2D the streaming outcome depends on
+    micro-batch boundaries. tests/test_streaming.py drives the real
+    streaming operator one-record-per-micro-batch over input whose gaps
+    avoid the ambiguous band and asserts equality with this twin.
+
+    Plan shape: one shuffle keyed by url (collect_list of that url's
+    occurrence timestamps — bounded by the per-URL duplicate count, the
+    same boundedness the streaming state relies on), then a JVM
+    ``aggregate`` fold building the greedy kept-anchor list. The fold is
+    interpreted per element, but per-url occurrence arrays are tiny;
+    nothing here is per-row Python."""
+    occ = decoded.groupBy("url").agg(
+        F.array_sort(
+            F.collect_list(F.col("fetch_ts").cast("double"))
+        ).alias("ts_all")
+    )
+    kept = F.aggregate(
+        F.col("ts_all"),
+        F.array().cast("array<double>"),
+        lambda acc, t: F.when(
+            (F.size(acc) == F.lit(0))
+            | (t >= F.element_at(acc, -1) + F.lit(float(horizon_s))),
+            F.concat(acc, F.array(t)),
+        ).otherwise(acc),
+    )
+    return occ.select("url", F.explode(kept).alias("t")).select(
+        "url", F.col("t").cast("timestamp").alias("fetch_ts")
+    )
+
+
 _STATE_SCHEMA = "total LONG"
 _OUT_SCHEMA = "host STRING, batch_urls LONG, total_urls LONG"
 
