@@ -230,3 +230,28 @@ def test_decontaminate_broadcasts_eval_side_only(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     # the shuffle is the aggregation's, fed by a partial aggregate
     assert "partial_count" in plan
+
+
+def test_decontaminate_hashed_equals_string_plan(spark):
+    """The xxhash64-shingle decontamination (the >=10^7-shingle
+    eval-suite shape: 8 B/key broadcast instead of ~50 B strings) must
+    return exactly the string plan's rows — hashing changes the join key
+    width, never the values — and keep the same broadcast-eval-only
+    plan shape with the hash computed before the join (no extra
+    exchange)."""
+    string_rows = sorted(
+        tuple(r)
+        for r in Q.queries()["decontaminate"](spark, SF).collect()
+    )
+    hashed_rows = sorted(
+        tuple(r)
+        for r in Q.queries()["decontaminate_hashed"](spark, SF).collect()
+    )
+    assert hashed_rows == string_rows
+    assert len(hashed_rows) > 0
+
+    plan = plan_of(Q.queries()["decontaminate_hashed"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastExchange (") == 1, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "xxhash64" in plan

@@ -209,9 +209,92 @@ def test_multimodal_plumbing(spark):
         assert r.kind in ("image", "audio", "video")
         assert len(r.feature) == 16
         assert r.payload_bytes > 0
-    # the real-codec seam is a clearly-marked stub
+    # codecs that genuinely need media libraries still raise through the
+    # declared seam (JPEG magic, for instance)
     with pytest.raises(NotImplementedError):
-        decode_media(b"\x00", "image")
+        decode_media(b"\xff\xd8\xff\xe0 not decodable", "image")
+
+
+def test_real_decoders_known_values():
+    """Hand-built 1x1 PPM and 2-sample WAV with known bytes: the real
+    decoders must parse the containers and produce the exact moment
+    features (exact-integer arithmetic, so equality is warranted)."""
+    from web_scraper_v1_spark.functions.multimodal import (
+        _decode_ppm,
+        _decode_wav,
+        ppm_from_text,
+        wav_from_text,
+    )
+
+    # 1x1 P6, pixel = (10, 20, 30); with a comment line in the header
+    ppm = b"P6\n# c\n1 1\n255\n" + bytes([10, 20, 30])
+    f = _decode_ppm(ppm)
+    assert f[0] == 1 / 10000.0 and f[1] == 1 / 10000.0
+    assert f[2] == 10 / 255.0 and f[3] == 20 / 255.0 and f[4] == 30 / 255.0
+    assert f[5] == 10 / 255.0 and f[6] == 30 / 255.0
+
+    # 2-sample PCM16 WAV at 8 kHz: samples -256, 512
+    samples = (-256).to_bytes(2, "little", signed=True) + (512).to_bytes(
+        2, "little", signed=True
+    )
+    fmt = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + fmt + b"data" + (4).to_bytes(4, "little") + samples
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    g = _decode_wav(wav)
+    assert g[0] == 8000 / 100000.0 and g[1] == 2 / 1e6
+    assert g[2] == 256 / (2 * 32768.0)
+    assert g[3] == -256 / 32768.0 and g[4] == 512 / 32768.0
+
+    # fixture generators emit containers the decoders accept
+    assert decode_media(ppm_from_text("abcd"), "image")[0] == 8 / 10000.0
+    assert decode_media(wav_from_text("abcd"), "audio")[0] == 16000 / 100000.0
+
+    # non-PCM16-mono WAV refuses loudly rather than mis-decoding
+    bad = (
+        b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (2).to_bytes(2, "little")  # stereo
+        + (8000).to_bytes(4, "little") + (32000).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body2 = b"WAVE" + bad + b"data" + (4).to_bytes(4, "little") + samples
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        _decode_wav(b"RIFF" + len(body2).to_bytes(4, "little") + body2)
+
+
+def test_real_media_end_to_end(spark):
+    """use_fake=False through the full mapInPandas pipeline over valid
+    containers: every row decodes, image/audio features land in the
+    expected slots, and a null payload skips (feature None) instead of
+    crashing the batch."""
+    from web_scraper_v1_spark.functions.multimodal import (
+        MEDIA_SCHEMA,
+        synthesize_real_media_from_documents,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    media = synthesize_real_media_from_documents(docs)
+    rows = {r.media_id: r for r in extract_features(media, use_fake=False).collect()}
+    assert len(rows) == 20
+    for mid, r in rows.items():
+        if mid % 2 == 0:
+            assert r.kind == "image" and r.payload_bytes == 107
+            assert r.feature[0] == 8 / 10000.0
+            assert 0.0 < r.feature[2] <= 1.0
+        else:
+            assert r.kind == "audio" and r.payload_bytes == 172
+            assert r.feature[0] == 16000 / 100000.0
+            assert r.feature[5] == 0.0
+
+    null_row = spark.createDataFrame(
+        [(999, "image", None, None)], MEDIA_SCHEMA
+    )
+    out = extract_features(null_row, use_fake=False).collect()
+    assert len(out) == 1 and out[0].feature is None
 
 
 def test_fingerprint_normalization(spark):

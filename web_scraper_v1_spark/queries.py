@@ -2057,9 +2057,13 @@ def q_ngram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "decontaminate",
-    """
+# shared by decontaminate (string-shingle plan) and decontaminate_hashed
+# (xxhash64-shingle plan): both count DISTINCT shared 8-grams per
+# (train, eval) pair, so the string replay is an exact oracle for the
+# hashed plan too — hashing changes the join key width, not the values,
+# absent xxhash64 collisions (none on this corpus; the two plans are
+# additionally pytest-gated equal, tests/test_plans.py)
+_DECONTAM_SQL = """
     WITH tok AS (
       SELECT doc_id,
              regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -2077,23 +2081,13 @@ def q_ngram_df_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT train_doc_id, eval_doc_id, CAST(count(*) AS BIGINT) AS n_hits
     FROM train_sh JOIN eval_sh USING (s)
     GROUP BY train_doc_id, eval_doc_id
-    """,
-)
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark DECONTAMINATION: find training documents sharing any
-    word-8-gram with a held-out eval set (docs with doc_id % 7 == 0
-    stand in for the benchmark; n_hits = number of distinct shared
-    8-grams). The step every serious training-data pipeline runs and the
-    classic asymmetric-size join: benchmarks are tiny next to a 100 TB
-    corpus, so the eval shingle relation is BROADCAST and the training
-    side streams scan->shingle->broadcast-hash-join with no shuffle of
-    the exploded token stream — only actual contamination hits (rare by
-    construction) reach the aggregation exchange. Shingles join as
-    strings here so the DuckDB twin replays them verbatim; at 10^12
-    tokens they'd be 8-byte hashes from the same Arrow kernel the dedup
-    layer uses (operators/dedup.py), identical plan shape."""
-    d = _t(spark, sf_dir, "documents")
-    sh = (
+    """
+
+
+def _decontam_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, s): each doc's DISTINCT word-8-gram strings, exploded.
+    JVM-only (tokens + transform/slice/array_join)."""
+    return (
         d.select("doc_id", TX.tokens(F.col("text")).alias("tok"))
         .filter(F.size("tok") >= 8)
         .select(
@@ -2108,6 +2102,25 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
+
+
+@_q("decontaminate", _DECONTAM_SQL)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: find training documents sharing any
+    word-8-gram with a held-out eval set (docs with doc_id % 7 == 0
+    stand in for the benchmark; n_hits = number of distinct shared
+    8-grams). The step every serious training-data pipeline runs and the
+    classic asymmetric-size join: benchmarks are tiny next to a 100 TB
+    corpus, so the eval shingle relation is BROADCAST and the training
+    side streams scan->shingle->broadcast-hash-join with no shuffle of
+    the exploded token stream — only actual contamination hits (rare by
+    construction) reach the aggregation exchange. Shingles join as
+    strings here so the DuckDB twin replays them verbatim; at 10^12
+    tokens they'd be 8-byte hashes from the same Arrow kernel the dedup
+    layer uses (operators/dedup.py), identical plan shape — that variant
+    is the ``decontaminate_hashed`` query below."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _decontam_shingles(d)
     ev = sh.filter(F.col("doc_id") % 7 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "s"
     )
@@ -2116,6 +2129,35 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         tr.join(F.broadcast(ev), "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+
+
+@_q("decontaminate_hashed", _DECONTAM_SQL)
+def q_decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shape decontamination join: both sides collapse
+    each 8-gram to ``xxhash64`` (one JVM expression, still inside the
+    scan stage) and join on the 8-byte hash. A real eval suite is ~10^7
+    shingles; at ~50 B/string that strains the broadcast the string plan
+    relies on, while 8 B/hash keeps the whole suite around 80 MB —
+    broadcastable at full production size. Values are identical to the
+    string plan (n_hits counts DISTINCT shared shingles; xxhash64 is
+    collision-free on any realistic eval suite and provably so on this
+    corpus — pytest-gated equal to the string plan), so the string replay
+    doubles as this query's exact DuckDB oracle."""
+    d = _t(spark, sf_dir, "documents")
+    sh = _decontam_shingles(d).select(
+        "doc_id", F.xxhash64(F.col("s")).alias("h")
+    )
+    ev = sh.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "h"
+    )
+    tr = sh.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("train_doc_id"), "h"
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
@@ -2672,6 +2714,87 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_bytes",
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4)
         .alias("feature_sum"),
+    )
+
+
+# -- multimodal_real_decode: REAL container parsing end-to-end. The
+# fixture emits valid PPM-P6 / WAV-PCM16 payloads whose pixel/sample
+# bytes are the document's (ASCII) bytes cycled, so DuckDB replays the
+# decoded moment features with exact-integer byte arithmetic — the
+# use_fake=False branch of extract_features is value-hash gated, not
+# just schema-tested.
+
+@_q(
+    "multimodal_real_decode",
+    """
+    WITH p AS (
+      SELECT doc_id, text AS s, strlen(text) AS L FROM documents
+    ), img AS (
+      SELECT doc_id,
+             [ascii(s[(i % L) + 1]) for i in range(0, 96)] AS px
+      FROM p WHERE doc_id % 2 = 0
+    ), imgf AS (
+      SELECT doc_id,
+             list_sum([px[3*i + 1] for i in range(0, 32)]) AS sr,
+             list_sum([px[3*i + 2] for i in range(0, 32)]) AS sg,
+             list_sum([px[3*i + 3] for i in range(0, 32)]) AS sb,
+             list_min(px) AS mn, list_max(px) AS mx
+      FROM img
+    ), aud AS (
+      SELECT doc_id,
+             [(ascii(s[(j % L) + 1]) - 128) * 256
+              for j in range(0, 64)] AS q
+      FROM p WHERE doc_id % 2 = 1
+    ), audf AS (
+      SELECT doc_id, list_sum(q) AS sq,
+             list_min(q) AS mn, list_max(q) AS mx
+      FROM aud
+    )
+    SELECT doc_id AS media_id, 'image' AS kind,
+           CAST(107 AS BIGINT) AS payload_bytes,
+           round(8.0 / 10000.0, 6) AS f0,
+           round(4.0 / 10000.0, 6) AS f1,
+           round(CAST(sr AS DOUBLE) / 8160.0, 6) AS f2,
+           round(CAST(sg AS DOUBLE) / 8160.0, 6) AS f3,
+           round(CAST(sb AS DOUBLE) / 8160.0, 6) AS f4,
+           round(CAST(mn AS DOUBLE) / 255.0, 6) AS f5,
+           round(CAST(mx AS DOUBLE) / 255.0, 6) AS f6
+    FROM imgf
+    UNION ALL
+    SELECT doc_id, 'audio', CAST(172 AS BIGINT),
+           round(16000.0 / 100000.0, 6),
+           round(64.0 / 1000000.0, 6),
+           round(CAST(sq AS DOUBLE) / 2097152.0, 6),
+           round(CAST(mn AS DOUBLE) / 32768.0, 6),
+           round(CAST(mx AS DOUBLE) / 32768.0, 6),
+           round(0.0, 6), round(0.0, 6)
+    FROM audf
+    """,
+)
+def q_multimodal_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec media decode end-to-end: valid PPM-P6 (even doc_ids)
+    and WAV-PCM16 (odd doc_ids) containers synthesized from document
+    text, parsed by the dependency-free decoders behind ``decode_media``
+    (functions/multimodal.py — header/chunk parsing, not a fake), moment
+    features out through the same mapInPandas pipeline. Feature math is
+    exact-integer sums + one division (oracle-parity rule), so every
+    value is hash-gated against the DuckDB byte-arithmetic replay."""
+    from web_scraper_v1_spark.functions.multimodal import (
+        synthesize_real_media_from_documents,
+    )
+
+    media = synthesize_real_media_from_documents(
+        _t(spark, sf_dir, "documents")
+    )
+    feats = extract_features(media, use_fake=False)
+    return feats.select(
+        "media_id",
+        "kind",
+        "payload_bytes",
+        *[
+            F.round(F.element_at("feature", i + 1), 6).alias(f"f{i}")
+            for i in range(7)
+        ],
     )
 
 
