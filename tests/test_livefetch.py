@@ -248,7 +248,9 @@ def test_crawl_engine_live_mode_trace_parity(spark, tmp_path):
 
 def test_transport_errors_are_failures_not_crashes(spark):
     """Connection-refused and non-http URLs surface as status -1 rows (the
-    live analog of a sandbox join miss), never task failures."""
+    live analog of a sandbox join miss), never task failures — and each
+    carries its failure-mode attribution (error_kind), matching the
+    reference's error-class logging (job_processor.go:126-132)."""
     rows = [
         ("http://127.0.0.1:9/closed", "ua"),  # discard port: refused
         ("https://127.0.0.1:9/tls", "ua"),  # scheme not handled by the seam
@@ -259,3 +261,77 @@ def test_transport_errors_are_failures_not_crashes(spark):
     assert len(got) == 3
     for r in got.values():
         assert r.status == -1 and r.html is None
+    assert got["http://127.0.0.1:9/closed"].error_kind == "refused"
+    assert got["https://127.0.0.1:9/tls"].error_kind == "transport"
+    assert got["not a url"].error_kind == "transport"
+
+
+def test_error_kinds_distinguish_non200_timeout_and_refused(spark, receiver):
+    """error_kind taxonomy against a REAL server: a 404/500 response is
+    non200 (status preserved), a closed port is refused, a stalled
+    response is timeout, and a 200 has no error_kind."""
+    import socket as _socket
+
+    port = receiver
+    # a listener that accepts and never responds -> read timeout
+    stall = _socket.socket()
+    stall.bind(("127.0.0.1", 0))
+    stall.listen(4)
+    stall_port = stall.getsockname()[1]
+    try:
+        rows = [
+            (f"http://127.0.0.1:{port}/page/1", "ua"),     # 200
+            (f"http://127.0.0.1:{port}/missing/1", "ua"),  # 404
+            ("http://127.0.0.1:9/x", "ua"),                # refused
+            (f"http://127.0.0.1:{stall_port}/x", "ua"),    # timeout
+        ]
+        df = spark.createDataFrame(
+            rows, "canonical_url string, user_agent string"
+        )
+        got = {
+            r.canonical_url: r
+            for r in live_fetch(df.coalesce(1), timeout=2.0).collect()
+        }
+        ok = got[f"http://127.0.0.1:{port}/page/1"]
+        assert ok.status == 200 and ok.error_kind is None
+        miss = got[f"http://127.0.0.1:{port}/missing/1"]
+        assert miss.status == 404 and miss.error_kind == "non200"
+        assert got["http://127.0.0.1:9/x"].error_kind == "refused"
+        t = got[f"http://127.0.0.1:{stall_port}/x"]
+        assert t.status == -1 and t.error_kind == "timeout"
+    finally:
+        stall.close()
+
+
+def test_live_engine_round_records_failure_kinds(spark, tmp_path, receiver):
+    """The engine's round lineage carries the failure-kind tally in live
+    mode: 404 seeds land as non200 in both RoundStats.failure_kinds and
+    the committed round meta."""
+    from web_scraper_v1_spark.plans.crawl import CrawlEngine
+    from web_scraper_v1_spark.sources.corpus import SEEDS_SCHEMA
+    from web_scraper_v1_spark.sources.livefetch import chrome_ua_column
+
+    port = receiver
+    seeds = spark.createDataFrame(
+        [
+            ("task-1", f"http://127.0.0.1:{port}/page/1", 0, 0),
+            ("task-2", f"http://127.0.0.1:{port}/page/2", 0, 0),
+            ("task-3", f"http://127.0.0.1:{port}/missing/1", 0, 0),
+        ],
+        SEEDS_SCHEMA,
+    )
+
+    def fetcher(wave):
+        return live_fetch(
+            wave.withColumn(
+                "user_agent", chrome_ua_column(F.col("canonical_url"))
+            )
+        )
+
+    eng = CrawlEngine(
+        spark, str(tmp_path / "kinds_run"), batch_size=10, fetcher=fetcher
+    )
+    stats = eng.run(seeds)
+    assert stats and stats[0].failure_kinds == {"non200": 1}
+    meta = max(eng.store.rounds(), key=lambda m: m["round"])
+    assert meta["failure_kinds"] == {"non200": 1}

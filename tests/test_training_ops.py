@@ -394,6 +394,64 @@ def test_ann_ivf_kmeans_training(spark):
     assert recall2 >= 0.5, f"half-sample-trained recall {recall2}"
 
 
+def test_shingle_cache_verifies_hits_and_bounds_size(spark):
+    """The shared shingle cache is keyed by a 32-bit semanticHash: a hit
+    must be VERIFIED with sameSemantics (collision -> recompute, never
+    serve another input's shingles), and the cache is bounded (FIFO
+    eviction + unpersist) so long-lived sessions don't accumulate one
+    persisted frame per distinct input plan."""
+    from web_scraper_v1_spark.operators import dedup as DD
+
+    DD.release_all()
+    frames = [
+        spark.createDataFrame(
+            [(i, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        for i in range(6)
+    ]
+    first = DD._shingles_cached(frames[0], "doc_id", "text", 3)
+    # same plan -> same cached frame object (no recompute)
+    assert DD._shingles_cached(frames[0], "doc_id", "text", 3) is first
+    for f in frames[1:]:
+        DD._shingles_cached(f, "doc_id", "text", 3)
+    assert len(DD._SHINGLE_CACHE) <= DD._SHINGLE_CACHE_MAX
+    # stored source frames let a semanticHash collision be detected: a
+    # DIFFERENT plan never reuses an entry it doesn't semantically match
+    for _key, (src, _sh) in DD._SHINGLE_CACHE.items():
+        assert not src.sameSemantics(frames[0]) or src is frames[0]
+    DD.release_all()
+    assert len(DD._SHINGLE_CACHE) == 0
+
+
+def test_kmeans_exact_int_is_shuffle_order_bit_stable(spark):
+    """exact_int=True trains BIT-IDENTICAL centroids regardless of
+    partitioning: the per-coordinate sums are quantized int64 terms
+    aggregated as decimal(38,0) (the PageRank trick), so combine order
+    cannot perturb the means. Trained twice under different
+    spark.sql.shuffle.partitions — every float must match exactly (the
+    float path makes no such guarantee, which is why it is not
+    oracle-gated)."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = SIM.ivf_centroids_kmeans(embs, 8, n_iter=3, exact_int=True)
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = SIM.ivf_centroids_kmeans(embs, 8, n_iter=3, exact_int=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b  # exact float equality, all 8 x 64 coordinates
+    # and the exact-int quantizer is materially the float quantizer:
+    # 1e-9-resolution quantization cannot move a centroid coordinate
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+    f = SIM.ivf_centroids_kmeans(embs, 8, n_iter=3, exact_int=False)
+    for (cid_a, va), (cid_f, vf) in zip(a, f):
+        assert cid_a == cid_f
+        for x, y in zip(va, vf):
+            assert abs(x - y) < 1e-6
+
+
 def test_ivf_stored_index_probe_matches_inflight(spark, tmp_path):
     """The stored-index path (ivf_index_write -> partitionBy(cid) parquet,
     ivf_probe_topk -> cid-IN partition-pruned read) must return EXACTLY

@@ -352,6 +352,7 @@ def ivf_centroids_kmeans(
     vec_col: str = "embedding",
     dim: int = 64,
     train_mod: int | None = None,
+    exact_int: bool = False,
 ) -> list[tuple[int, list[float]]]:
     """Spherical k-means refinement of the sampled quantizer — the
     documented training seam of ``ivf_centroids``, now real. Lloyd
@@ -371,11 +372,22 @@ def ivf_centroids_kmeans(
     suffice for C ~ sqrt(N) lists) while assignment still covers every
     row. Empty clusters keep their previous centroid.
 
-    NOT oracle-gated, deliberately: cross-partition float-sum order makes
-    the means nondeterministic in the last ulps, which can flip a
-    knife-edge assignment — exactly what the md5-sampled quantizer avoids
-    for the registry's value-hash gate. Quality is pytest-gated instead
-    (recall vs the exact baseline, sampled-vs-kmeans comparison)."""
+    The DEFAULT float path is not oracle-gated, deliberately:
+    cross-partition float-sum order makes the means nondeterministic in
+    the last ulps, which can flip a knife-edge assignment — exactly what
+    the md5-sampled quantizer avoids for the registry's value-hash gate.
+    Quality is pytest-gated instead (recall vs the exact baseline,
+    sampled-vs-kmeans comparison).
+
+    ``exact_int=True`` removes that nondeterminism with the PageRank
+    trick (operators/graph.py:96-104): each coordinate is quantized to
+    an int64 at 1e-9 resolution BEFORE the per-cluster sum, and the sum
+    runs over decimal(38,0) (exact at any row count — int64 itself would
+    overflow a per-dimension sum around 10^10 rows), so the trained
+    centroids are bit-identical under ANY partitioning/combine order —
+    pytest-gated by training under different shuffle-partition counts.
+    The 1e-9 quantization error per summed coordinate is far below any
+    effect on quantizer quality."""
     v = _as_double(vec_col)
     base = embs.select(F.col(id_col).alias("id"), v.alias("v"))
     if train_mod is not None:
@@ -393,19 +405,44 @@ def ivf_centroids_kmeans(
             assigned = base.withColumn(
                 "cid", (-F.array_max(arr)["nid"]).cast("long")
             )
-            sums = assigned.groupBy("cid").agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("v", d + 1)).alias(f"s{d}")
-                    for d in range(dim)
-                ],
-            )
-            new = {
-                int(r["cid"]): [
-                    float(r[f"s{d}"]) / int(r["n"]) for d in range(dim)
-                ]
-                for r in sums.collect()
-            }
+            if exact_int:
+                sums = assigned.groupBy("cid").agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(
+                            F.round(
+                                F.element_at("v", d + 1) * F.lit(1e9)
+                            )
+                            .cast("long")
+                            .cast("decimal(38,0)")
+                        ).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                # exact integer sums -> one float division per centroid
+                # coordinate on the driver: identical inputs, identical
+                # op order, bit-identical means
+                new = {
+                    int(r["cid"]): [
+                        int(r[f"s{d}"]) / int(r["n"]) / 1e9
+                        for d in range(dim)
+                    ]
+                    for r in sums.collect()
+                }
+            else:
+                sums = assigned.groupBy("cid").agg(
+                    F.count("*").alias("n"),
+                    *[
+                        F.sum(F.element_at("v", d + 1)).alias(f"s{d}")
+                        for d in range(dim)
+                    ],
+                )
+                new = {
+                    int(r["cid"]): [
+                        float(r[f"s{d}"]) / int(r["n"]) for d in range(dim)
+                    ]
+                    for r in sums.collect()
+                }
             cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
     finally:
         base.unpersist()

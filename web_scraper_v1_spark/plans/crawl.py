@@ -31,7 +31,7 @@ state (pytest-gated).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -135,6 +135,10 @@ class RoundStats:
     seq_end: int
     duration_s: float
     discovered: int = 0
+    # failure-mode attribution (error_kind -> count): timeout/refused/
+    # transport/non200 in live mode, miss in corpus mode, parse for
+    # status-200 bodies the extractor rejected (job_processor.go:126-132)
+    failure_kinds: dict = field(default_factory=dict)
 
 
 class CrawlEngine:
@@ -228,6 +232,7 @@ class CrawlEngine:
         # way a missing/failed row (join miss or status != 200,
         # job_processor.go:130-132) retries then drops identically.
         self.fetcher = fetcher
+        self._live_fetched: DataFrame | None = None  # per-round, see _wave_join
         self.processed_set = SeenSet(
             spark,
             n_bits=bloom_bits,
@@ -402,26 +407,45 @@ class CrawlEngine:
         prepared.unpersist()
         return stats
 
-    def _wave_join(self, pages_prepared: DataFrame, selected: DataFrame) -> DataFrame:
+    def _wave_join(
+        self, pages_prepared: DataFrame, selected: DataFrame
+    ) -> tuple[DataFrame, DataFrame | None]:
         """The fetch join (O7): wave side broadcast only when
         ``self.broadcast_wave`` (see __init__); otherwise a shuffle
-        equi-join on canonical_url."""
+        equi-join on canonical_url. Returns (hits, failures): in live
+        mode ``failures`` carries (canonical_url, error_kind) for the
+        non-200/transport rows so the round lineage can attribute
+        failure modes (the reference logs the error class,
+        job_processor.go:126-132); None in corpus mode, where a miss has
+        exactly one cause (absent from the corpus)."""
         wave = F.broadcast(selected) if self.broadcast_wave else selected
         if self.fetcher is not None:
             # live mode: fetch the wave over the network, keep the 200s as
             # the "corpus side" (bounded by the wave, so the same join
-            # strategy reasoning applies), join task metadata back on
-            fetched_ok = (
-                self.fetcher(selected)
-                .filter(F.col("status") == F.lit(200))
-                .select(
-                    "canonical_url",
-                    "html",
-                    F.octet_length("html").alias("page_bytes"),
-                )
+            # strategy reasoning applies), join task metadata back on.
+            # Persisted: the hits join and the failure-kind tally both
+            # read it, and a network fetch must run ONCE per round (a
+            # real deployment would also checkpoint the fetched wave to
+            # the store before parsing — same commit protocol).
+            fetched = self.fetcher(selected).persist()
+            self._live_fetched = fetched
+            fetched_ok = fetched.filter(
+                F.col("status") == F.lit(200)
+            ).select(
+                "canonical_url",
+                "html",
+                F.octet_length("html").alias("page_bytes"),
             )
-            return fetched_ok.join(wave, "canonical_url", "inner")
-        return pages_prepared.join(wave, "canonical_url", "inner")
+            failures = fetched.filter(F.col("status") != F.lit(200))
+            if "error_kind" in fetched.columns:
+                failures = failures.select("canonical_url", "error_kind")
+            else:  # custom fetcher predating the failure taxonomy
+                failures = failures.select(
+                    "canonical_url",
+                    F.lit("transport").alias("error_kind"),
+                )
+            return fetched_ok.join(wave, "canonical_url", "inner"), failures
+        return pages_prepared.join(wave, "canonical_url", "inner"), None
 
     def _run_round(
         self,
@@ -473,7 +497,7 @@ class CrawlEngine:
         # fall back to shuffle equi-joins on canonical_url (the runtime
         # bloom-filter join injected from the wave side prunes the corpus
         # scan; AQE picks the physical strategy from runtime sizes).
-        hits = self._wave_join(pages_prepared, selected)
+        hits, fetch_failures = self._wave_join(pages_prepared, selected)
         if self.broadcast_wave and self.fetcher is None:
             # the broadcast join keeps the corpus scan and the Arrow
             # extraction UDF in ONE stage — measured bimodally 3-10x
@@ -513,7 +537,25 @@ class CrawlEngine:
             F.broadcast(hit_keys) if self.broadcast_wave else hit_keys,
             "canonical_url",
             "left_anti",
-        ).select(
+        )
+        if fetch_failures is not None:
+            # live mode: attach the fetcher's failure-mode attribution
+            # (timeout | refused | transport | non200); the failure frame
+            # is wave-bounded, same join-strategy reasoning as the wave
+            misses = misses.join(
+                F.broadcast(fetch_failures)
+                if self.broadcast_wave
+                else fetch_failures,
+                "canonical_url",
+                "left",
+            ).withColumn(
+                "error_kind", F.coalesce("error_kind", F.lit("transport"))
+            )
+        else:
+            # corpus mode: a miss has exactly one cause — the URL is
+            # absent from the corpus (the status != 200 analog)
+            misses = misses.withColumn("error_kind", F.lit("miss"))
+        misses = misses.select(
             "queue_seq",
             "priority",
             "canonical_url",
@@ -524,8 +566,16 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("ip_address"),
             F.lit(None).cast("string").alias("forwarded_host"),
             F.lit(True).alias("parse_error"),
+            "error_kind",
         )
-        fetch_rows = parsed.drop("depth", "outlinks").unionByName(misses)
+        fetch_rows = (
+            parsed.drop("depth", "outlinks")
+            .withColumn(
+                "error_kind",
+                F.when(F.col("parse_error"), F.lit("parse")),
+            )
+            .unionByName(misses)
+        )
 
         # -- task rows: one per finalized task, with its attempt count.
         # fetch-or-parse failure => retried then dropped (deterministic
@@ -542,6 +592,7 @@ class CrawlEngine:
             "ip_address",
             "forwarded_host",
             "page_bytes",
+            "error_kind",
         ]
         ok = ~F.col("parse_error")
         fetched_rows = (
@@ -567,6 +618,7 @@ class CrawlEngine:
             F.lit(None).cast("string").alias("ip_address"),
             F.lit(None).cast("string").alias("forwarded_host"),
             F.lit(None).cast("long").alias("page_bytes"),
+            F.lit(None).cast("string").alias("error_kind"),
         )
         task_rows = fetched_rows.unionByName(blocked_rows).cache()
 
@@ -577,18 +629,22 @@ class CrawlEngine:
         # materializes the task_rows cache.
         accounting = task_rows.select(
             "outcome_kind",
+            "error_kind",
             F.col("n_attempts").cast("long").alias("att"),
             F.coalesce("page_bytes", F.lit(0)).cast("long").alias("bytes"),
         ).unionByName(
             deferred_rows.select(
                 F.lit("deferred").alias("outcome_kind"),
+                F.lit(None).cast("string").alias("error_kind"),
                 F.lit(0).cast("long").alias("att"),
                 F.lit(0).cast("long").alias("bytes"),
             )
         )
         agg = (
             accounting.groupBy(
-                "outcome_kind", F.spark_partition_id().alias("pid")
+                "outcome_kind",
+                "error_kind",
+                F.spark_partition_id().alias("pid"),
             )
             .agg(
                 F.count("*").alias("n"),
@@ -598,10 +654,15 @@ class CrawlEngine:
             .collect()
         )
         by_kind: dict[str, int] = {}
+        failure_kinds: dict[str, int] = {}
         part_hist: dict[str, int] = {}
         n_attempts = n_bytes = 0
         for row in agg:
             by_kind[row.outcome_kind] = by_kind.get(row.outcome_kind, 0) + row.n
+            if row.error_kind is not None:
+                failure_kinds[row.error_kind] = (
+                    failure_kinds.get(row.error_kind, 0) + row.n
+                )
             if row.outcome_kind != "deferred":
                 part_hist[str(row.pid)] = (
                     part_hist.get(str(row.pid), 0) + row.n
@@ -617,6 +678,7 @@ class CrawlEngine:
             selected.unpersist()
             parsed.unpersist()
             task_rows.unpersist()
+            self._release_live_fetched()
             return None
 
         # -- global sequential trace ((priority, queue) order): each task
@@ -787,6 +849,7 @@ class CrawlEngine:
             seq_end=seq_base + n_attempts - 1,
             duration_s=round(time.monotonic() - t0, 3),
             discovered=n_discovered,
+            failure_kinds=failure_kinds,
         )
         self.store.commit_round(
             r,
@@ -806,6 +869,7 @@ class CrawlEngine:
                 "discovered": st.discovered,
                 "next_queue_seq": next_queue_seq + n_discovered,
                 "partition_histogram": part_hist,
+                "failure_kinds": failure_kinds,
             },
         )
         # fold the round's finalized keys into the round's bloom generation
@@ -817,5 +881,11 @@ class CrawlEngine:
         if frontier_add is not None:
             frontier_add.unpersist()
         task_rows.unpersist()
+        self._release_live_fetched()
         ordering.release_cached()
         return st
+
+    def _release_live_fetched(self) -> None:
+        if self._live_fetched is not None:
+            self._live_fetched.unpersist()
+            self._live_fetched = None

@@ -32,6 +32,7 @@ rounds in the driver loop (plans/crawl.py), never inside a task.
 from __future__ import annotations
 
 import http.client
+import socket
 from typing import Iterator
 from urllib.parse import urlsplit
 
@@ -45,7 +46,18 @@ from web_scraper_v1_spark.fixtures import (
     UA_TEMPLATE,
 )
 
-FETCH_SCHEMA = "canonical_url string, status int, html binary"
+FETCH_SCHEMA = (
+    "canonical_url string, status int, html binary, error_kind string"
+)
+
+# failure taxonomy (error_kind): the reference logs the error class on
+# fetch failure (job_processor.go:126-132); a crawl operator wants the
+# same attribution in lineage — timeout vs refused vs other transport
+# errors retry identically but mean different things operationally
+KIND_TIMEOUT = "timeout"
+KIND_REFUSED = "refused"
+KIND_TRANSPORT = "transport"
+KIND_NON200 = "non200"
 
 _UA_PRE, _rest = UA_TEMPLATE.split("{os}")
 _UA_MID, _UA_POST = _rest.split("{version}")
@@ -102,43 +114,59 @@ def _drop_connection(host: str, port: int) -> None:
             pass
 
 
-def _fetch_one(url: str, user_agent: str, timeout: float) -> tuple[int, bytes | None]:
-    """One GET through the pooled connection. Returns (status, body) with
-    body None unless status == 200 (job_processor.go:130-132). Status -1
-    marks a transport error (connection refused / timeout / bad URL) —
-    the live analog of the sandbox join miss."""
+def _classify(exc: Exception) -> str:
+    """Failure-mode attribution for a transport exception — timeout vs
+    connection-refused vs everything else (job_processor.go:126-128 logs
+    the Go error class the same way)."""
+    if isinstance(exc, (TimeoutError, socket.timeout)):
+        return KIND_TIMEOUT
+    if isinstance(exc, ConnectionRefusedError):
+        return KIND_REFUSED
+    return KIND_TRANSPORT
+
+
+def _fetch_one(
+    url: str, user_agent: str, timeout: float
+) -> tuple[int, bytes | None, str | None]:
+    """One GET through the pooled connection. Returns (status, body,
+    error_kind): body None unless status == 200 (job_processor.go:130-132),
+    error_kind None on success else one of timeout/refused/transport/
+    non200. Status -1 marks a transport error — the live analog of the
+    sandbox join miss."""
     try:
         parts = urlsplit(url)
         host = parts.hostname
         if host is None or parts.scheme != "http":
-            return -1, None
+            return -1, None, KIND_TRANSPORT
         port = parts.port or 80
         target = parts.path or "/"
         if parts.query:
             target += "?" + parts.query
     except ValueError:
-        return -1, None
+        return -1, None, KIND_TRANSPORT
     # Send the UA as raw UTF-8 BYTES: http.client encodes str header
     # values as latin-1, which rejects the reference UA template's
     # Cyrillic look-alike codepoints (chrome.go:73 'Mоzillа'); the Go
     # client ships the raw bytes (job_processor.go:117-118), so we do too
     # (putheader passes bytes through unencoded).
     headers = {"User-Agent": user_agent.encode("utf-8"), "Accept": "*/*"}
+    kind = KIND_TRANSPORT
     for attempt in (0, 1):  # one recycle for a stale keep-alive connection
         conn = _connection(host, port, timeout)
         try:
             conn.request("GET", target, headers=headers)
             resp = conn.getresponse()
             body = resp.read()
-        except Exception:
+        except Exception as exc:
             _drop_connection(host, port)
+            kind = _classify(exc)
             if attempt:
-                return -1, None
+                return -1, None, kind
             continue
         if resp.status != 200:
-            return resp.status, None
-        return 200, bytes(body)
-    return -1, None
+            return resp.status, None, KIND_NON200
+        return 200, bytes(body), None
+    return -1, None, kind
 
 
 def live_fetch(
@@ -148,7 +176,8 @@ def live_fetch(
     timeout: float = 30.0,
 ) -> DataFrame:
     """Fetch every frontier row's URL over live HTTP; returns
-    (canonical_url, status, html) with html null on any non-200/transport
+    (canonical_url, status, html, error_kind) with html null and
+    error_kind set (timeout | refused | transport | non200) on any
     failure. Partition-parallel: each Spark task streams its Arrow batches
     through the worker's pooled connections; per-host politeness is the
     wave selector's job upstream (per_host_topk bounds how many URLs of
@@ -162,15 +191,18 @@ def live_fetch(
             uas = pdf[ua_col].tolist()
             statuses = []
             bodies = []
+            kinds = []
             for url, ua in zip(urls, uas):
-                status, body = _fetch_one(url, ua or "", timeout)
+                status, body, kind = _fetch_one(url, ua or "", timeout)
                 statuses.append(status)
                 bodies.append(body)
+                kinds.append(kind)
             yield pd.DataFrame(
                 {
                     "canonical_url": urls,
                     "status": pd.array(statuses, dtype="int32"),
                     "html": bodies,
+                    "error_kind": kinds,
                 }
             )
 
