@@ -232,6 +232,16 @@ def test_decontaminate_broadcasts_eval_side_only(spark):
     assert "partial_count" in plan
 
 
+def test_dedup_stream_batch_single_shuffle(spark):
+    """The watermark-dedup batch twin moves data ONCE (hash by url for
+    the collect_list agg); the greedy TTL fold runs over the per-url
+    occurrence arrays with no further exchange — at 100 TB the operator
+    costs one shuffle of (url, ts) pairs, nothing else."""
+    plan = plan_of(Q.queries()["dedup_stream_batch"](spark, SF))
+    assert plan.count("Exchange (") == 1, plan
+    assert "partial_collect_list" in plan or "collect_list" in plan
+
+
 def test_decontaminate_hashed_equals_string_plan(spark):
     """The xxhash64-shingle decontamination (the >=10^7-shingle
     eval-suite shape: 8 B/key broadcast instead of ~50 B strings) must
