@@ -78,6 +78,9 @@ HEADLINE = [
     "winnow_fingerprint",
     "dedup_stream_batch",
     "decontaminate_hashed",
+    "segment_dedup",
+    "unigram_surprisal",
+    "recrawl_delta",
 ]
 
 

@@ -2850,6 +2850,255 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-4 curation additions: segment-level dedup (RefinedWeb-style line
+# dedup), unigram LM surprisal scoring (CCNet-style quality proxy), and
+# recrawl content-delta (change detection between crawl generations).
+# --------------------------------------------------------------------------
+
+
+@_q(
+    "segment_dedup",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), seg AS (
+      SELECT doc_id,
+             array_to_string(w[i * 10 + 1:i * 10 + 10], ' ') AS seg
+      FROM tok, UNNEST(range(0, (len(w) + 9) // 10)) AS t(i)
+    ), counts AS (
+      SELECT seg, count(*) AS c FROM seg GROUP BY seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_segments,
+           round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 4) AS dup_ratio
+    FROM seg JOIN counts USING (seg)
+    GROUP BY doc_id
+    """,
+)
+def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup — the line/paragraph dedup rule of
+    C4/RefinedWeb-style curation (a segment repeated across the corpus is
+    boilerplate, and a doc dominated by duplicated segments is dropped).
+    The synthetic corpus is single-line, so segments are deterministic
+    non-overlapping 10-word windows (the operator is agnostic to how the
+    segmenter splits). Shape at 100 TB: explode -> one map-side-combined
+    count keyed by segment, an equi-join back on the same key (the count
+    exchange is reused), and one (doc_id) aggregation; production would
+    join on xxhash64(segment) to shrink the shuffle width (the
+    decontaminate_hashed precedent) — strings are kept here so the DuckDB
+    replay is exact rather than collision-modulo."""
+    d = _t(spark, sf_dir, "documents")
+    segs = d.select(
+        "doc_id", TX.tokens(F.col("text")).alias("tok")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST((size(tok) + 9) DIV 10 AS INT)"
+                " - 1), i -> array_join(slice(tok, i * 10 + 1, 10), ' '))"
+            )
+        ).alias("seg"),
+    )
+    counts = segs.groupBy("seg").agg(F.count("*").alias("c"))
+    n_dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    n_seg = F.count("*")
+    return (
+        segs.join(counts, "seg")
+        .groupBy("doc_id")
+        .agg(
+            n_seg.cast("long").alias("n_segments"),
+            n_dup.cast("long").alias("n_dup_segments"),
+            F.round(
+                n_dup.cast("double") / n_seg.cast("double"), 4
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+@_q(
+    "unigram_surprisal",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ), cnts AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY t
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM cnts
+    ), vocab AS (
+      SELECT t, cnt FROM cnts ORDER BY cnt DESC, t LIMIT 24
+    ), scored AS (
+      SELECT tok.doc_id,
+             CAST(round(CAST(n_total AS DOUBLE)
+                        / CAST(coalesce(v.cnt, 1) AS DOUBLE)
+                        * 1000) AS BIGINT) AS q
+      FROM tok LEFT JOIN vocab v ON tok.t = v.t CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(q) AS BIGINT) AS surprisal_q_sum,
+           round(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS mean_surprisal_q
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the CCNet-style quality proxy: docs
+    whose tokens are rare under a corpus-trained unigram model (high mean
+    inverse probability) are outliers (gibberish, other-domain text).
+    Transcendental-free by the oracle-parity rule: per-token 'surprisal'
+    is the rational inverse probability n_total/cnt quantized to int64
+    (ln of it would order identically), summed exactly. The model is a
+    top-K vocab (K=24 of this corpus's 31 tokens, tiebreak cnt DESC,
+    token ASC so the LIMIT is deterministic) with out-of-vocab tokens
+    scored as cnt=1 — exactly the bounded-vocab + OOV-fallback shape a
+    100 TB run needs: token counts are one map-side-combined aggregation,
+    the vocab and the one-row total are broadcast (the corpus-side token
+    stream never shuffles for scoring), and the only wide exchange is the
+    final (doc_id) aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("t")
+    )
+    cnts = tok.groupBy("t").agg(F.count("*").cast("long").alias("cnt"))
+    tot = cnts.agg(F.sum("cnt").cast("long").alias("n_total"))
+    vocab = cnts.orderBy(F.desc("cnt"), F.asc("t")).limit(24)
+    scored = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("n_total").cast("double")
+                / F.coalesce(F.col("cnt"), F.lit(1)).cast("double")
+                * 1000
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("q").cast("long").alias("surprisal_q_sum"),
+        F.round(
+            F.sum("q").cast("double") / F.count("*").cast("double"), 4
+        ).alias("mean_surprisal_q"),
+    )
+
+
+@_q(
+    "recrawl_delta",
+    f"""
+    WITH g1 AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 5
+    ), g2 AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 5 = 0 THEN text || ' updated'
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 11 <> 7
+    ), delta AS (
+      SELECT coalesce(g1.doc_id, g2.doc_id) AS doc_id,
+             CASE WHEN g1.doc_id IS NULL THEN 'new'
+                  WHEN g2.doc_id IS NULL THEN 'gone'
+                  WHEN g1.h = g2.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM g1 FULL OUTER JOIN g2 ON g1.doc_id = g2.doc_id
+    )
+    SELECT {_HOST_SQL} AS host,
+           CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gone,
+           CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed,
+           CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unchanged,
+           round(CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)
+                      AS DOUBLE)
+                 / CAST(nullif(sum(CASE WHEN status IN
+                                   ('changed', 'unchanged')
+                                   THEN 1 ELSE 0 END), 0) AS DOUBLE), 4)
+             AS change_rate
+    FROM delta GROUP BY host
+    """,
+)
+def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl content-delta — change detection between two crawl
+    generations, the signal an adaptive recrawl scheduler feeds on (the
+    reference recrawls blindly; a 100 TB crawler re-fetches hosts in
+    proportion to their measured change rate). Generations are derived
+    deterministically in both engines: gen2 drops some urls ('gone'),
+    adds others ('new'), and rewrites every fifth page. Content equality
+    is md5-of-text (the store's fingerprint column). Shape at scale: the
+    two generation scans full-outer-join on the url key — co-partitioned
+    for free when both generations live in the host-bucketed snapshot
+    store (sources/snapshots.py) — then one tiny per-host aggregation;
+    change_rate is null (not a crash) for a host with no surviving
+    pages."""
+    d = _t(spark, sf_dir, "documents")
+    g1 = d.filter(F.col("doc_id") % 13 != 5).select(
+        F.col("doc_id").alias("id1"), F.md5(F.col("text")).alias("h1")
+    )
+    g2 = d.filter(F.col("doc_id") % 11 != 7).select(
+        F.col("doc_id").alias("id2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    delta = g1.join(g2, g1.id1 == g2.id2, "full_outer").select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), "new")
+        .when(F.col("id2").isNull(), "gone")
+        .when(F.col("h1") == F.col("h2"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+    n_changed = F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
+    n_alive = F.sum(
+        F.when(F.col("status").isin("changed", "unchanged"), 1).otherwise(0)
+    )
+    return (
+        delta.select(
+            F.concat(
+                F.lit("host"),
+                (F.col("doc_id") % 37).cast("string"),
+                F.lit(".example.com"),
+            ).alias("host"),
+            "status",
+        )
+        .groupBy("host")
+        .agg(
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("status") == "gone", 1).otherwise(0))
+            .cast("long")
+            .alias("n_gone"),
+            n_changed.cast("long").alias("n_changed"),
+            F.sum(
+                F.when(F.col("status") == "unchanged", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_unchanged"),
+            F.round(
+                n_changed.cast("double")
+                / F.nullif(n_alive, F.lit(0)).cast("double"),
+                4,
+            ).alias("change_rate"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
 
@@ -2876,6 +3125,9 @@ _VERIFY_FIRST = [
     "dedup_stream_batch",
     "decontaminate_hashed",
     "multimodal_real_decode",
+    "segment_dedup",
+    "unigram_surprisal",
+    "recrawl_delta",
 ]
 
 
