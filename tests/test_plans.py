@@ -265,3 +265,37 @@ def test_decontaminate_hashed_equals_string_plan(spark):
     assert plan.count("BroadcastExchange (") == 1, plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "xxhash64" in plan
+
+
+def test_unigram_surprisal_token_stream_never_shuffles(spark):
+    """The scoring pass reads the token stream once: vocab (TakeOrdered
+    top-K) and the one-row total reach it as broadcasts, so the only
+    exchanges are the map-side-combined token-count aggregation (model
+    training) and the final (doc_id) aggregation — nothing repartitions
+    the 100 TB token stream itself for scoring."""
+    plan = plan_of(Q.queries()["unigram_surprisal"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan  # map-side combine before every exchange
+
+
+def test_segment_dedup_single_key_aggregation(spark):
+    """Segment counts are one map-side-combined aggregation keyed by
+    segment; the join back is an equi-join on the same key (broadcast at
+    sandbox size, SMJ on the already-hashed key at scale) — never a
+    cartesian shape."""
+    plan = plan_of(Q.queries()["segment_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_recrawl_delta_generation_join_on_key(spark):
+    """The generation diff is a full-outer equi-join on the url key plus
+    one tiny per-host aggregation — two exchanges of generation rows,
+    one of host rows, nothing else."""
+    plan = plan_of(Q.queries()["recrawl_delta"](spark, SF))
+    assert "FullOuter" in plan, plan
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 3, plan
