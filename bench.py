@@ -81,6 +81,7 @@ HEADLINE = [
     "segment_dedup",
     "unigram_surprisal",
     "recrawl_delta",
+    "recrawl_priority_wave",
 ]
 
 

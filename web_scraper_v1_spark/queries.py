@@ -2992,9 +2992,9 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "recrawl_delta",
-    f"""
+# shared by recrawl_delta and recrawl_priority_wave: the two crawl
+# generations and their per-url diff status (new/gone/changed/unchanged)
+_RECRAWL_DELTA_CTES = """
     WITH g1 AS (
       SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 13 <> 5
     ), g2 AS (
@@ -3009,7 +3009,38 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN g1.h = g2.h THEN 'unchanged'
                   ELSE 'changed' END AS status
       FROM g1 FULL OUTER JOIN g2 ON g1.doc_id = g2.doc_id
+    )"""
+
+
+def _recrawl_delta_statuses(d: DataFrame) -> DataFrame:
+    """(doc_id, status) across the two derived crawl generations — the
+    Spark twin of ``_RECRAWL_DELTA_CTES``."""
+    g1 = d.filter(F.col("doc_id") % 13 != 5).select(
+        F.col("doc_id").alias("id1"), F.md5(F.col("text")).alias("h1")
     )
+    g2 = d.filter(F.col("doc_id") % 11 != 7).select(
+        F.col("doc_id").alias("id2"),
+        F.md5(
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.col("text"), F.lit(" updated")),
+            ).otherwise(F.col("text"))
+        ).alias("h2"),
+    )
+    return g1.join(g2, g1.id1 == g2.id2, "full_outer").select(
+        F.coalesce("id1", "id2").alias("doc_id"),
+        F.when(F.col("id1").isNull(), "new")
+        .when(F.col("id2").isNull(), "gone")
+        .when(F.col("h1") == F.col("h2"), "unchanged")
+        .otherwise("changed")
+        .alias("status"),
+    )
+
+
+@_q(
+    "recrawl_delta",
+    _RECRAWL_DELTA_CTES
+    + f"""
     SELECT {_HOST_SQL} AS host,
            CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_new,
@@ -3042,26 +3073,7 @@ def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     change_rate is null (not a crash) for a host with no surviving
     pages."""
     d = _t(spark, sf_dir, "documents")
-    g1 = d.filter(F.col("doc_id") % 13 != 5).select(
-        F.col("doc_id").alias("id1"), F.md5(F.col("text")).alias("h1")
-    )
-    g2 = d.filter(F.col("doc_id") % 11 != 7).select(
-        F.col("doc_id").alias("id2"),
-        F.md5(
-            F.when(
-                F.col("doc_id") % 5 == 0,
-                F.concat(F.col("text"), F.lit(" updated")),
-            ).otherwise(F.col("text"))
-        ).alias("h2"),
-    )
-    delta = g1.join(g2, g1.id1 == g2.id2, "full_outer").select(
-        F.coalesce("id1", "id2").alias("doc_id"),
-        F.when(F.col("id1").isNull(), "new")
-        .when(F.col("id2").isNull(), "gone")
-        .when(F.col("h1") == F.col("h2"), "unchanged")
-        .otherwise("changed")
-        .alias("status"),
-    )
+    delta = _recrawl_delta_statuses(d)
     n_changed = F.sum(F.when(F.col("status") == "changed", 1).otherwise(0))
     n_alive = F.sum(
         F.when(F.col("status").isin("changed", "unchanged"), 1).otherwise(0)
@@ -3098,6 +3110,84 @@ def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "recrawl_priority_wave",
+    _RECRAWL_DELTA_CTES
+    + """
+    , rates AS (
+      SELECT doc_id % 37 AS host,
+             CAST(round(CAST(sum(CASE WHEN status = 'changed'
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(sum(CASE WHEN status IN ('changed', 'unchanged')
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                   * 1000000.0) AS BIGINT) AS change_ppm
+      FROM delta GROUP BY doc_id % 37
+      HAVING sum(CASE WHEN status IN ('changed', 'unchanged')
+                 THEN 1 ELSE 0 END) > 0
+    ), wave AS (
+      SELECT doc_id % 37 AS host, doc_id FROM documents
+      QUALIFY row_number() OVER (PARTITION BY doc_id % 37
+                                 ORDER BY doc_id) <= 2
+    )
+    SELECT w.host, w.doc_id, r.change_ppm
+    FROM wave w JOIN rates r ON r.host = w.host
+    ORDER BY r.change_ppm DESC, w.host, w.doc_id
+    LIMIT 40
+    """,
+)
+def q_recrawl_priority_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive recrawl scheduling: this round's recrawl slots go to the
+    hosts whose content churns fastest — the measured per-host change
+    rate from the generation diff (``recrawl_delta``) drives wave
+    selection exactly the way host PageRank drives
+    ``pagerank_priority_wave``. Change rates are ppm-quantized int64 so
+    the (rate, host, queue) ordering is a deterministic total order and
+    the 40-slot LIMIT is reproducible. Shape at 100 TB: the rate table is
+    one row per host (always broadcastable), the politeness top-k is the
+    salted per-host window, and the global cut is a TakeOrdered — the
+    frontier never shuffles for prioritization. Hosts with no surviving
+    pages have no measured rate and drop out of the recrawl wave (the
+    inner join), matching a scheduler that falls back to discovery for
+    brand-new hosts."""
+    d = _t(spark, sf_dir, "documents")
+    delta = _recrawl_delta_statuses(d)
+    n_changed = F.sum(
+        F.when(F.col("status") == "changed", 1).otherwise(0)
+    )
+    n_alive = F.sum(
+        F.when(F.col("status").isin("changed", "unchanged"), 1).otherwise(0)
+    )
+    rates = (
+        delta.groupBy((F.col("doc_id") % 37).alias("host"))
+        .agg(
+            F.round(
+                n_changed.cast("double") / n_alive.cast("double")
+                * 1000000.0
+            )
+            .cast("long")
+            .alias("change_ppm"),
+            n_alive.alias("_alive"),
+        )
+        .filter(F.col("_alive") > 0)
+        .drop("_alive")
+    )
+    frontier = d.select(
+        (F.col("doc_id") % 37).alias("host"),
+        F.col("doc_id").alias("queue_seq"),
+        F.xxhash64(F.col("doc_id")).alias("url_hash"),
+        "doc_id",
+    )
+    wave = per_host_topk(frontier, k=2, salt_buckets=4).filter(
+        F.col("selected")
+    )
+    return (
+        wave.join(F.broadcast(rates), "host")
+        .orderBy(F.desc("change_ppm"), F.asc("host"), F.asc("doc_id"))
+        .limit(40)
+        .select("host", "doc_id", "change_ppm")
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
@@ -3128,6 +3218,7 @@ _VERIFY_FIRST = [
     "segment_dedup",
     "unigram_surprisal",
     "recrawl_delta",
+    "recrawl_priority_wave",
 ]
 
 
