@@ -82,6 +82,7 @@ HEADLINE = [
     "unigram_surprisal",
     "recrawl_delta",
     "recrawl_priority_wave",
+    "incremental_dedup",
 ]
 
 

@@ -594,3 +594,26 @@ def test_decontaminate_matches_python_bruteforce(spark):
                 expect[(td, ed)] = n
     assert got == expect
     assert expect  # non-vacuous: the fixture corpus has contamination
+
+
+def test_incremental_dedup_equals_full_restricted(spark):
+    """The incremental path (new batch vs index + within-new) returns
+    EXACTLY the full self-dedup's pairs that involve a new doc — nothing
+    missed across the old/new boundary, nothing invented, and no old x
+    old pair ever examined."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 4 != 1)
+    new = docs.filter(F.col("doc_id") % 4 == 1)
+    incr = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.incremental_minhash_pairs(old, new).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.minhash_lsh_pairs(docs).collect()
+        if r.id_a % 4 == 1 or r.id_b % 4 == 1
+    }
+    assert incr == full
+    assert incr  # non-degenerate: the corpus plants cross-batch pairs
+    assert all(a % 4 == 1 or b % 4 == 1 for a, b, _ in incr)
+    DD.release_all()

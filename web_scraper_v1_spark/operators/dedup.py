@@ -339,6 +339,29 @@ def minhash_signatures(
     return shingled.select("id", _sig("shingles").alias("sig"))
 
 
+def _minhash_buckets(
+    sigs: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """(id, band, band_key) LSH bucket rows: the signature folded into
+    ``bands`` xxhash64 band keys. Shared by the batch self-dedup and the
+    incremental (new-batch-vs-index) paths."""
+    band_structs = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.alias("band"),
+            F.xxhash64(
+                *[
+                    F.element_at("sig", b * rows_per_band + j + 1)
+                    for j in range(rows_per_band)
+                ]
+            ).alias("band_key"),
+        ),
+    )
+    return sigs.select(
+        "id", F.explode(band_structs).alias("bk")
+    ).select("id", "bk.band", "bk.band_key")
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
@@ -358,21 +381,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     shingled = _shingles_cached(docs, id_col, text_col, n)
     sigs = _persist(minhash_signatures(shingled, num_hashes), fresh=True)
-    band_structs = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band"),
-            F.xxhash64(
-                *[
-                    F.element_at("sig", b * rows_per_band + j + 1)
-                    for j in range(rows_per_band)
-                ]
-            ).alias("band_key"),
-        ),
-    )
-    buckets = sigs.select(
-        "id", F.explode(band_structs).alias("bk")
-    ).select("id", "bk.band", "bk.band_key")
+    buckets = _minhash_buckets(sigs, bands, rows_per_band)
     la = buckets.select("band", "band_key", F.col("id").alias("id_a"))
     lb = buckets.select("band", "band_key", F.col("id").alias("id_b"))
     candidates = (
@@ -382,6 +391,65 @@ def minhash_lsh_pairs(
         .distinct()
     )
     return _verified_pairs(candidates, shingled, threshold)
+
+
+def incremental_minhash_pairs(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental near-dup dedup: pairs INVOLVING the new batch only —
+    new x old (is this fresh crawl a near-dup of something already in the
+    corpus?) and new x new, never old x old. This is the production shape
+    of dedup at 100 TB: the corpus is deduped once, and every subsequent
+    crawl increment is checked against the existing *band-bucket index*
+    instead of re-deduping the world — per increment the old side
+    contributes only bucket rows matching the new batch's band keys (a
+    stored index partitioned/bucketed by band prunes the rest; the
+    equi-join on (band, band_key) is the same shape either way), so the
+    cost is O(new x collision rate), not O(corpus^2) or even O(corpus).
+    Same signature/banding/verification contract as
+    ``minhash_lsh_pairs`` (b=32 x r=4: per-pair miss ~5e-8 at t=0.8,
+    candidates verified with exact Jaccard), so the exact all-pairs
+    Jaccard restricted to new-involving pairs is the oracle."""
+    rows_per_band = num_hashes // bands
+    sh_old = _shingles_cached(old_docs, id_col, text_col, n)
+    sh_new = _shingles_cached(new_docs, id_col, text_col, n)
+    sig_old = _persist(minhash_signatures(sh_old, num_hashes), fresh=True)
+    sig_new = _persist(minhash_signatures(sh_new, num_hashes))
+    b_old = _minhash_buckets(sig_old, bands, rows_per_band)
+    b_new = _minhash_buckets(sig_new, bands, rows_per_band)
+    # new x old: orientation is mixed (ids interleave), canonicalize to
+    # id_a < id_b; new x new: the usual self-join triangle
+    vs_index = (
+        b_new.select("band", "band_key", F.col("id").alias("id_n"))
+        .join(
+            b_old.select("band", "band_key", F.col("id").alias("id_o")),
+            ["band", "band_key"],
+        )
+        .select(
+            F.least("id_n", "id_o").alias("id_a"),
+            F.greatest("id_n", "id_o").alias("id_b"),
+        )
+    )
+    within_new = (
+        b_new.select("band", "band_key", F.col("id").alias("id_a"))
+        .join(
+            b_new.select("band", "band_key", F.col("id").alias("id_b")),
+            ["band", "band_key"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    candidates = vs_index.unionByName(within_new).distinct()
+    return _verified_pairs(
+        candidates, sh_old.unionByName(sh_new), threshold
+    )
 
 
 def simhash_sketches(shingled: DataFrame) -> DataFrame:

@@ -2467,6 +2467,27 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "incremental_dedup",
+    _JACCARD_ORACLE
+    + "      AND (a.doc_id % 4 = 1 OR b.doc_id % 4 = 1)\n",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production shape at 100 TB: the corpus
+    (doc_id % 4 <> 1 here) is already deduped and indexed; a new crawl
+    batch (doc_id % 4 = 1) is checked against that band-bucket index and
+    within itself, and old x old pairs are NEVER re-examined or re-paid
+    (operators/dedup.incremental_minhash_pairs). The oracle is the exact
+    all-pairs Jaccard restricted to pairs involving the new batch — the
+    same recall contract as minhash_lsh_dedup."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.incremental_minhash_pairs(
+        d.filter(F.col("doc_id") % 4 != 1),
+        d.filter(F.col("doc_id") % 4 == 1),
+        threshold=0.8,
+    )
+
+
 @_q("simhash_dedup", _JACCARD_ORACLE)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(64-bit, 16x4-bit bands) near-dup with exact verification.
@@ -3219,6 +3240,7 @@ _VERIFY_FIRST = [
     "unigram_surprisal",
     "recrawl_delta",
     "recrawl_priority_wave",
+    "incremental_dedup",
 ]
 
 
