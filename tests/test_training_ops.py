@@ -617,3 +617,26 @@ def test_incremental_dedup_equals_full_restricted(spark):
     assert incr  # non-degenerate: the corpus plants cross-batch pairs
     assert all(a % 4 == 1 or b % 4 == 1 for a, b, _ in incr)
     DD.release_all()
+
+
+def test_incremental_probe_matches_inflight(spark, tmp_path):
+    """The stored-index probe path (minhash_index_write +
+    incremental_minhash_probe) returns exactly the in-flight incremental
+    result: materializing the corpus's band buckets + shingles changes
+    where the old side is read from, never the pairs."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    old = docs.filter(F.col("doc_id") % 4 != 1)
+    new = docs.filter(F.col("doc_id") % 4 == 1)
+    idx = str(tmp_path / "minhash_index")
+    DD.minhash_index_write(old, idx)
+    probed = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.incremental_minhash_probe(spark, idx, new).collect()
+    }
+    inflight = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.incremental_minhash_pairs(old, new).collect()
+    }
+    assert probed == inflight
+    assert probed
+    DD.release_all()

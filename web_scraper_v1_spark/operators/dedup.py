@@ -424,6 +424,19 @@ def incremental_minhash_pairs(
     sig_new = _persist(minhash_signatures(sh_new, num_hashes))
     b_old = _minhash_buckets(sig_old, bands, rows_per_band)
     b_new = _minhash_buckets(sig_new, bands, rows_per_band)
+    return _incremental_pairs(b_old, b_new, sh_old, sh_new, threshold)
+
+
+def _incremental_pairs(
+    b_old: DataFrame,
+    b_new: DataFrame,
+    sh_old: DataFrame,
+    sh_new: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """New-involving candidate pairs from band buckets + exact verify —
+    shared by the in-flight (``incremental_minhash_pairs``) and stored-
+    index (``incremental_minhash_probe``) paths."""
     # new x old: orientation is mixed (ids interleave), canonicalize to
     # id_a < id_b; new x new: the usual self-join triangle
     vs_index = (
@@ -450,6 +463,60 @@ def incremental_minhash_pairs(
     return _verified_pairs(
         candidates, sh_old.unionByName(sh_new), threshold
     )
+
+
+def minhash_index_write(
+    docs: DataFrame,
+    path: str,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Materialize the corpus dedup index ``incremental_minhash_pairs``'s
+    docstring describes: band-bucket rows written ``partitionBy("band")``
+    under ``{path}/bands`` and the shingle sets (the exact-verification
+    side) under ``{path}/shingles``. Shingling and signature hashing for
+    the corpus are paid ONCE at ingest; every subsequent crawl increment
+    probes the stored buckets (``incremental_minhash_probe``) without
+    touching the corpus text at all — the only corpus bytes an increment
+    reads are the bucket rows its band keys collide with and the shingle
+    arrays of verified candidates."""
+    rows_per_band = num_hashes // bands
+    sh = _shingles_cached(docs, id_col, text_col, n)
+    sigs = minhash_signatures(sh, num_hashes)
+    buckets = _minhash_buckets(sigs, bands, rows_per_band)
+    buckets.write.mode("overwrite").partitionBy("band").parquet(
+        f"{path}/bands"
+    )
+    sh.write.mode("overwrite").parquet(f"{path}/shingles")
+
+
+def incremental_minhash_probe(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``incremental_minhash_pairs`` against a STORED index
+    (``minhash_index_write``): identical results, pytest-gated, but the
+    old side is read from the materialized band buckets and shingle
+    arrays instead of being re-shingled/re-hashed per increment — the
+    actual daily-increment deployment shape. Parameters must match the
+    ones the index was written with."""
+    rows_per_band = num_hashes // bands
+    sh_new = _shingles_cached(new_docs, id_col, text_col, n)
+    sig_new = _persist(minhash_signatures(sh_new, num_hashes), fresh=True)
+    b_new = _minhash_buckets(sig_new, bands, rows_per_band)
+    b_old = spark.read.parquet(f"{index_path}/bands")
+    sh_old = spark.read.parquet(f"{index_path}/shingles")
+    return _incremental_pairs(b_old, b_new, sh_old, sh_new, threshold)
 
 
 def simhash_sketches(shingled: DataFrame) -> DataFrame:
