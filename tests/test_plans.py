@@ -299,3 +299,22 @@ def test_recrawl_delta_generation_join_on_key(spark):
     assert "FullOuter" in plan, plan
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Arguments: hashpartitioning") == 3, plan
+
+
+def test_registry_contract_consistency():
+    """The driver-contract wiring cannot silently drift: every bench
+    headline name resolves in the registry, every registered query has an
+    oracle, and the verification-first export order actually places every
+    never/least-recently-verified name inside the driver harness's
+    50-query window."""
+    import bench
+    from web_scraper_v1_spark.queries import _VERIFY_FIRST
+
+    qs = Q.queries()
+    oracles = Q.oracle_sql()
+    assert set(bench.HEADLINE) <= set(qs), set(bench.HEADLINE) - set(qs)
+    assert set(oracles) == set(qs)  # every query oracle-gated
+    assert set(_VERIFY_FIRST) <= set(qs)
+    order = list(qs)
+    assert order[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
+    assert len(_VERIFY_FIRST) <= 50  # all fit in the checked window
