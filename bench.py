@@ -83,6 +83,7 @@ HEADLINE = [
     "recrawl_delta",
     "recrawl_priority_wave",
     "incremental_dedup",
+    "shuffle_shards",
 ]
 
 

@@ -318,3 +318,12 @@ def test_registry_contract_consistency():
     order = list(qs)
     assert order[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
     assert len(_VERIFY_FIRST) <= 50  # all fit in the checked window
+
+
+def test_shuffle_shards_never_single_partition(spark):
+    """The epoch reshuffle is a per-shard window sort behind one hash
+    exchange on the shard key — never a global (SinglePartition) sort."""
+    plan = plan_of(Q.queries()["shuffle_shards"](spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan

@@ -3209,6 +3209,47 @@ def q_recrawl_priority_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "shuffle_shards",
+    """
+    SELECT doc_id,
+           CAST(doc_id % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (
+                  PARTITION BY doc_id % 8
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch42'),
+                           doc_id
+                ) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic corpus shuffle into training shards — the
+    epoch-reshuffle step of a pretraining data pipeline: every epoch's
+    read order must be pseudorandom, reproducible from the seed alone,
+    and producible WITHOUT a global sort. Shards are round-robin; the
+    within-shard order is the md5 of (doc_id, seed) — identical hex
+    strings, hence identical ordering, in both engines (ties broken by
+    doc_id, so the permutation is total). Shape at 100 TB: one hash
+    partition by shard + a per-shard window sort — embarrassingly
+    parallel across shards, never a SinglePartition stage; size the
+    shard count so each shard's sort fits an executor (2^14 shards for a
+    10^10-doc corpus), and the written shards ARE the epoch's read
+    manifest."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    return (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % 8).cast("long").alias("shard"),
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":epoch42"))
+            ).alias("sort_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
@@ -3241,6 +3282,7 @@ _VERIFY_FIRST = [
     "recrawl_delta",
     "recrawl_priority_wave",
     "incremental_dedup",
+    "shuffle_shards",
 ]
 
 
