@@ -84,6 +84,7 @@ HEADLINE = [
     "recrawl_priority_wave",
     "incremental_dedup",
     "shuffle_shards",
+    "pack_sequences",
 ]
 
 

@@ -327,3 +327,11 @@ def test_shuffle_shards_never_single_partition(spark):
     assert "SinglePartition" not in plan, plan
     assert "Window" in plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """Sequence packing shares shuffle_shards' scale shape: one hash
+    exchange on the shard key, per-shard window work, no global sort."""
+    plan = plan_of(Q.queries()["pack_sequences"](spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Arguments: hashpartitioning") == 1, plan

@@ -3250,6 +3250,71 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "pack_sequences",
+    """
+    WITH ordered AS (
+      SELECT doc_id,
+             doc_id % 8 AS shard,
+             row_number() OVER (
+               PARTITION BY doc_id % 8
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch42'), doc_id
+             ) AS pos,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM ordered
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_offset,
+           n_tokens
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on top of the epoch reshuffle — the final
+    manifest step of a pretraining data pipeline: each shard's shuffled
+    doc stream is laid out contiguously and cut into fixed 256-token
+    training sequences; a doc's pack_id/pack_offset say exactly which
+    sequence it starts in and where (docs spanning a boundary spill into
+    the next pack — the standard concat-then-chunk packing). Everything
+    is exact integer arithmetic over a per-shard running token count:
+    the same one-exchange + per-shard-window shape as ``shuffle_shards``
+    (plan-gated: no SinglePartition), so the packing manifest for a
+    10^10-doc corpus is embarrassingly parallel across shards."""
+    d = _t(spark, sf_dir, "documents")
+    w_pos = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
+    cum = F.sum("n_tokens").over(
+        w_pos.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.select(
+            "doc_id",
+            (F.col("doc_id") % 8).cast("long").alias("shard"),
+            F.md5(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":epoch42"))
+            ).alias("sort_key"),
+            TX.token_count(F.col("text")).alias("n_tokens"),
+        )
+        .withColumn("_start", cum - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "shard",
+            F.expr("CAST(_start DIV 256 AS BIGINT)").alias("pack_id"),
+            (F.col("_start") % 256).cast("long").alias("pack_offset"),
+            "n_tokens",
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
@@ -3283,6 +3348,7 @@ _VERIFY_FIRST = [
     "recrawl_priority_wave",
     "incremental_dedup",
     "shuffle_shards",
+    "pack_sequences",
 ]
 
 
