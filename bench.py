@@ -85,6 +85,7 @@ HEADLINE = [
     "incremental_dedup",
     "shuffle_shards",
     "pack_sequences",
+    "training_manifest",
 ]
 
 

@@ -1741,9 +1741,9 @@ def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "curation_pipeline",
-    f"""
+
+
+_CURATION_DECIDED_CTES = f"""
     WITH RECURSIVE tok AS (
       SELECT doc_id, text,
              regexp_split_to_array(trim(lower(text)), '\\s+') AS w,
@@ -1824,30 +1824,16 @@ def q_quality_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN fp f ON f.doc_id = q.doc_id
       LEFT JOIN comp c ON c.id = q.doc_id
       JOIN buckets b ON b.doc_id = q.doc_id
-    )
-    SELECT doc_id, lang, reject_reason,
-           reject_reason IS NULL AS keep
-    FROM decided
-    """,
-)
-def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The END-TO-END curation decision a training-data run executes per
-    document, first-failing-rule: quality gates (length, language,
-    heuristic score) -> exact dedup (keep lowest id per normalized-text
-    md5) -> near-dup clustering (connected components over exact n-gram
-    Jaccard pairs, non-canonical members dropped) -> deterministic
-    per-language stratified sampling. Every stage is the hash-certified
-    building block from its standalone query; what this adds (and the
-    oracle re-proves end-to-end) is the composition and precedence.
+    )"""
 
-    Scale shape: the quality/fingerprint/bucket columns are scan-side maps;
-    the pipeline's shuffles are the fingerprint window, the near-dup
-    posting join, and the cluster propagation rounds — each already
-    individually scale-audited. The decision table (doc_id, reason) is
-    what a 100 TB run materializes for lineage."""
+
+def _curation_decisions(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, reject_reason, keep) — the first-failing-rule
+    curation decision table; the Spark twin of
+    ``_CURATION_DECIDED_CTES``'s ``decided`` relation. Shared by
+    ``curation_pipeline`` and ``training_manifest``."""
     from web_scraper_v1_spark.operators.graph import cluster_assignments
 
-    d = _t(spark, sf_dir, "documents")
     base = d.select(
         "doc_id",
         TX.lang_id(F.col("text")).alias("lang"),
@@ -1894,6 +1880,35 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("reject_reason").isNull().alias("keep"),
         )
     )
+
+
+@_q(
+    "curation_pipeline",
+    _CURATION_DECIDED_CTES
+    + """
+    SELECT doc_id, lang, reject_reason,
+           reject_reason IS NULL AS keep
+    FROM decided
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation decision a training-data run executes per
+    document, first-failing-rule: quality gates (length, language,
+    heuristic score) -> exact dedup (keep lowest id per normalized-text
+    md5) -> near-dup clustering (connected components over exact n-gram
+    Jaccard pairs, non-canonical members dropped) -> deterministic
+    per-language stratified sampling. Every stage is the hash-certified
+    building block from its standalone query; what this adds (and the
+    oracle re-proves end-to-end) is the composition and precedence.
+
+    Scale shape: the quality/fingerprint/bucket columns are scan-side maps;
+    the pipeline's shuffles are the fingerprint window, the near-dup
+    posting join, and the cluster propagation rounds — each already
+    individually scale-audited. The decision table (doc_id, reason) is
+    what a 100 TB run materializes for lineage."""
+    return _curation_decisions(_t(spark, sf_dir, "documents"))
+
+
 
 
 @_q(
@@ -3290,7 +3305,13 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same one-exchange + per-shard-window shape as ``shuffle_shards``
     (plan-gated: no SinglePartition), so the packing manifest for a
     10^10-doc corpus is embarrassingly parallel across shards."""
-    d = _t(spark, sf_dir, "documents")
+    return _pack_manifest(_t(spark, sf_dir, "documents"))
+
+
+def _pack_manifest(d: DataFrame) -> DataFrame:
+    """Shuffle+pack manifest over a (doc_id, text, ...) frame — shared by
+    ``pack_sequences`` (whole corpus) and ``training_manifest`` (curation
+    survivors)."""
     w_pos = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
     cum = F.sum("n_tokens").over(
         w_pos.rowsBetween(Window.unboundedPreceding, 0)
@@ -3313,6 +3334,60 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
         )
     )
+
+
+@_q(
+    "training_manifest",
+    _CURATION_DECIDED_CTES
+    + """
+    , kept AS (
+      SELECT d.doc_id, p.n_tokens
+      FROM decided d JOIN parts p ON p.doc_id = d.doc_id
+      WHERE d.reject_reason IS NULL
+    ), ordered AS (
+      SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+             row_number() OVER (
+               PARTITION BY doc_id % 8
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch42'), doc_id
+             ) AS pos
+      FROM kept
+    ), cumulated AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM ordered
+    )
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_offset,
+           n_tokens
+    FROM cumulated
+    """,
+)
+def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — raw crawl to training sequences in one
+    declarative plan: the full curation decision chain
+    (``curation_pipeline``: quality gates -> exact dedup -> near-dup
+    clustering -> stratified sampling) selects the keep set, and the
+    survivors flow straight into the seeded epoch reshuffle and 256-token
+    sequence packing (``shuffle_shards``/``pack_sequences``). The oracle
+    replays every stage — language ID, quality terms, fingerprint window,
+    exact-Jaccard pairs, recursive-CTE connected components, sampling
+    buckets, md5 shuffle order, running-count packing — in ONE SQL
+    statement, so the end-to-end manifest is value-hash certified, not
+    just its pieces. Scale shape: the curation stages' shuffles are each
+    individually audited; packing adds one hash exchange on the shard key
+    and per-shard windows (plan-gated elsewhere: no SinglePartition)."""
+    d = _t(spark, sf_dir, "documents")
+    kept = (
+        _curation_decisions(d)
+        .filter(F.col("keep"))
+        .select("doc_id")
+    )
+    return _pack_manifest(d.join(kept, "doc_id").select("doc_id", "text"))
 
 
 # --------------------------------------------------------------------------
@@ -3349,6 +3424,7 @@ _VERIFY_FIRST = [
     "incremental_dedup",
     "shuffle_shards",
     "pack_sequences",
+    "training_manifest",
 ]
 
 
