@@ -3425,6 +3425,8 @@ _VERIFY_FIRST = [
     "shuffle_shards",
     "pack_sequences",
     "training_manifest",
+    # refactored this round (decision CTEs factored out) -> re-verify
+    "curation_pipeline",
 ]
 
 
