@@ -640,3 +640,42 @@ def test_incremental_probe_matches_inflight(spark, tmp_path):
     assert probed == inflight
     assert probed
     DD.release_all()
+
+
+def test_pack_manifest_matches_python_reference(spark):
+    """The shuffle+pack manifest equals a sequential pure-Python
+    reference: per shard, docs ordered by (md5(doc_id:seed), doc_id),
+    positions from an exact running token count cut at 256. Grid covers
+    boundary-exact docs, docs longer than one pack, and an empty shard."""
+    import hashlib
+
+    rows = [
+        # (doc_id, n_tokens) — shard = doc_id % 8; shard 3 left empty
+        (0, 256),   # exactly one pack
+        (8, 1),
+        (16, 300),  # longer than a pack: starts mid-stream, spills
+        (1, 255),
+        (9, 2),     # crosses the boundary by one token
+        (2, 10),
+    ]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in rows], "doc_id long, text string"
+    )
+    from web_scraper_v1_spark.queries import _pack_manifest
+
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.pack_offset, r.n_tokens)
+        for r in _pack_manifest(docs).collect()
+    }
+
+    expected = {}
+    by_shard: dict[int, list[tuple[str, int, int]]] = {}
+    for doc_id, n in rows:
+        key = hashlib.md5(f"{doc_id}:epoch42".encode()).hexdigest()
+        by_shard.setdefault(doc_id % 8, []).append((key, doc_id, n))
+    for shard, items in by_shard.items():
+        cum = 0
+        for _key, doc_id, n in sorted(items):
+            expected[doc_id] = (shard, cum // 256, cum % 256, n)
+            cum += n
+    assert got == expected
