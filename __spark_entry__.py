@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
-    training-data pipeline layer (69 in round 4). Each callable takes
+    training-data pipeline layer (70 in round 4). Each callable takes
     (spark, sf_dir) and returns a DataFrame; computed columns are aliased
     to match the oracle.
 
@@ -39,7 +39,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries (observed cap, CORRECTNESS_r03), so the registry exports the
     never/least-recently-verified and newest queries first
     (queries.py::_VERIFY_FIRST) and long-stable relational queries last;
-    scripts/selfcheck.py checks all 69 with no cap."""
+    scripts/selfcheck.py checks all 70 with no cap."""
     base = Q.queries()
 
     def _wrap(fn):

@@ -86,6 +86,7 @@ HEADLINE = [
     "shuffle_shards",
     "pack_sequences",
     "training_manifest",
+    "retry_backoff",
 ]
 
 

@@ -3390,6 +3390,56 @@ def q_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_manifest(d.join(kept, "doc_id").select("doc_id", "text"))
 
 
+@_q(
+    "retry_backoff",
+    """
+    WITH a AS (
+      SELECT o_orderkey,
+             CAST(unnest(generate_series(1, 5)) AS INT) AS attempt
+      FROM orders WHERE o_orderkey % 997 = 0
+    )
+    SELECT o_orderkey, attempt,
+           CAST(5 * (1 << (attempt - 1)) AS BIGINT) AS backoff_s,
+           CAST(coalesce(sum(5 * (1 << (attempt - 1))) OVER (
+                  PARTITION BY o_orderkey ORDER BY attempt
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS wait_before_s
+    FROM a
+    """,
+)
+def q_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exponential identity-change backoff as a declared
+    retry SCHEDULE (facade.go:111-112, identity.go:31-33: 2^attempt x 5 s
+    delay, max 5 attempts): each task's attempt rows carry their own
+    backoff and the cumulative not-before offset, so a scheduler can
+    defer re-enqueue by comparing wait_before_s against round time —
+    the data-plane half of O18's identity rotation (the actual Tor sleep
+    is control plane, SURVEY section 2). Exact integer bit-shifts and a
+    running sum — nothing engine-specific."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderkey")
+        .orderBy("attempt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    backoff = F.expr("shiftleft(1, attempt - 1) * 5")
+    return (
+        o.filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            "o_orderkey",
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("attempt"),
+        )
+        .select(
+            "o_orderkey",
+            "attempt",
+            backoff.cast("long").alias("backoff_s"),
+            F.coalesce(F.sum(backoff).over(w), F.lit(0))
+            .cast("long")
+            .alias("wait_before_s"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
@@ -3425,6 +3475,7 @@ _VERIFY_FIRST = [
     "shuffle_shards",
     "pack_sequences",
     "training_manifest",
+    "retry_backoff",
     # refactored this round (decision CTEs factored out) -> re-verify
     "curation_pipeline",
 ]
