@@ -2903,6 +2903,7 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              array_to_string(w[i * 10 + 1:i * 10 + 10], ' ') AS seg
       FROM tok, UNNEST(range(0, (len(w) + 9) // 10)) AS t(i)
+      WHERE len(w) >= 1
     ), counts AS (
       SELECT seg, count(*) AS c FROM seg GROUP BY seg
     )
@@ -2929,16 +2930,22 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontaminate_hashed precedent) — strings are kept here so the DuckDB
     replay is exact rather than collision-modulo."""
     d = _t(spark, sf_dir, "documents")
-    segs = d.select(
-        "doc_id", TX.tokens(F.col("text")).alias("tok")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, CAST((size(tok) + 9) DIV 10 AS INT)"
-                " - 1), i -> array_join(slice(tok, i * 10 + 1, 10), ' '))"
-            )
-        ).alias("seg"),
+    segs = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("tok"))
+        # guard: Spark sequence(0, -1) DESCENDS (it never yields the
+        # empty array DuckDB's range(0, 0) does), so a null/empty token
+        # array must be filtered out, not fed to the generator
+        .filter(F.size("tok") >= 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, CAST((size(tok) + 9) DIV 10"
+                    " AS INT) - 1),"
+                    " i -> array_join(slice(tok, i * 10 + 1, 10), ' '))"
+                )
+            ).alias("seg"),
+        )
     )
     counts = segs.groupBy("seg").agg(F.count("*").alias("c"))
     n_dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
