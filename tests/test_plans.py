@@ -280,15 +280,18 @@ def test_unigram_surprisal_token_stream_never_shuffles(spark):
     assert "partial_count" in plan  # map-side combine before every exchange
 
 
-def test_segment_dedup_single_key_aggregation(spark):
-    """Segment counts are one map-side-combined aggregation keyed by
-    segment; the join back is an equi-join on the same key (broadcast at
-    sandbox size, SMJ on the already-hashed key at scale) — never a
-    cartesian shape."""
+def test_segment_dedup_single_scan(spark):
+    """The corpus is tokenized and exploded ONCE: corpus-wide segment
+    counts come from a count window over the segment partitioning, so
+    the plan has exactly one parquet scan and two hash exchanges (seg,
+    then doc_id) — no join-back re-scan, no cartesian shape."""
     plan = plan_of(Q.queries()["segment_dedup"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "partial_count" in plan, plan
+    # formatted explain prints each node twice (tree + details): one
+    # scan node == two mentions
+    assert plan.count("Scan parquet") == 2, plan
+    assert plan.count("Arguments: hashpartitioning") == 2, plan
 
 
 def test_recrawl_delta_generation_join_on_key(spark):

@@ -679,3 +679,32 @@ def test_pack_manifest_matches_python_reference(spark):
             expected[doc_id] = (shard, cum // 256, cum % 256, n)
             cum += n
     assert got == expected
+
+
+def test_incremental_dedup_overlapping_batches(spark):
+    """A doc present in BOTH the index and the new batch (a re-crawl)
+    must not pair with itself or duplicate its pairs — and when its text
+    changed, verification uses the NEW text."""
+    old = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        # doc 1 re-crawled with identical text
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    rows = DD.incremental_minhash_pairs(old, new, threshold=0.5).collect()
+    pairs = [(r.id_a, r.id_b) for r in rows]
+    assert pairs == [(1, 2)], rows  # exactly once, no self-pair
+    # changed re-crawl: new text of doc 1 no longer matches doc 2
+    new2 = spark.createDataFrame(
+        [(1, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    rows2 = DD.incremental_minhash_pairs(old, new2, threshold=0.5).collect()
+    assert rows2 == [], rows2
+    DD.release_all()

@@ -438,13 +438,16 @@ def _incremental_pairs(
     shared by the in-flight (``incremental_minhash_pairs``) and stored-
     index (``incremental_minhash_probe``) paths."""
     # new x old: orientation is mixed (ids interleave), canonicalize to
-    # id_a < id_b; new x new: the usual self-join triangle
+    # id_a < id_b and drop self-pairs — a re-crawled doc present in BOTH
+    # batches collides with its own index entry in every band;
+    # new x new: the usual self-join triangle
     vs_index = (
         b_new.select("band", "band_key", F.col("id").alias("id_n"))
         .join(
             b_old.select("band", "band_key", F.col("id").alias("id_o")),
             ["band", "band_key"],
         )
+        .filter(F.col("id_n") != F.col("id_o"))
         .select(
             F.least("id_n", "id_o").alias("id_a"),
             F.greatest("id_n", "id_o").alias("id_b"),
@@ -460,9 +463,13 @@ def _incremental_pairs(
         .select("id_a", "id_b")
     )
     candidates = vs_index.unionByName(within_new).distinct()
-    return _verified_pairs(
-        candidates, sh_old.unionByName(sh_new), threshold
+    # one shingle row per id even when a doc appears in both batches (a
+    # duplicated verification row would multiply every pair it joins);
+    # the NEW batch's text wins deterministically on a changed re-crawl
+    shingles = sh_new.unionByName(
+        sh_old.join(sh_new.select("id"), "id", "left_anti")
     )
+    return _verified_pairs(candidates, shingles, threshold)
 
 
 def minhash_index_write(

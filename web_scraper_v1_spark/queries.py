@@ -417,6 +417,16 @@ _URL_SQL = (
 _HOST_SQL = "'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'"
 
 
+def _host_col():
+    """Spark twin of ``_HOST_SQL`` — the ONE definition of the derived
+    host string (shared by _derived_urls and recrawl_delta)."""
+    return F.concat(
+        F.lit("host"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.com"),
+    ).alias("host")
+
+
 def _derived_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     h = (F.col("doc_id") % 37).cast("string")
@@ -426,7 +436,7 @@ def _derived_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://host"), h, F.lit(".example.com/doc/"),
             F.col("doc_id").cast("string"),
         ).alias("url"),
-        F.concat(F.lit("host"), h, F.lit(".example.com")).alias("host"),
+        _host_col(),
     )
 
 
@@ -2923,12 +2933,17 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate, and a doc dominated by duplicated segments is dropped).
     The synthetic corpus is single-line, so segments are deterministic
     non-overlapping 10-word windows (the operator is agnostic to how the
-    segmenter splits). Shape at 100 TB: explode -> one map-side-combined
-    count keyed by segment, an equi-join back on the same key (the count
-    exchange is reused), and one (doc_id) aggregation; production would
-    join on xxhash64(segment) to shrink the shuffle width (the
-    decontaminate_hashed precedent) — strings are kept here so the DuckDB
-    replay is exact rather than collision-modulo."""
+    segmenter splits). Shape at 100 TB: the corpus is tokenized and
+    exploded ONCE — corpus-wide counts come from a count window over the
+    segment-hash partitioning, so the only exchanges are the one keyed
+    by segment and the final (doc_id) aggregation (a groupBy-count +
+    join-back would scan and re-tokenize the corpus twice). A
+    boilerplate segment in every doc lands one partition hot — the same
+    skew profile as the posting-list strategies, and exact-dedup first
+    removes the worst offenders; production would key on
+    xxhash64(segment) to shrink the exchange width (the
+    decontaminate_hashed precedent) — strings are kept here so the
+    DuckDB replay is exact rather than collision-modulo."""
     d = _t(spark, sf_dir, "documents")
     segs = (
         d.select("doc_id", TX.tokens(F.col("text")).alias("tok"))
@@ -2947,11 +2962,12 @@ def q_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("seg"),
         )
     )
-    counts = segs.groupBy("seg").agg(F.count("*").alias("c"))
     n_dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
     n_seg = F.count("*")
     return (
-        segs.join(counts, "seg")
+        segs.withColumn(
+            "c", F.count("*").over(Window.partitionBy("seg"))
+        )
         .groupBy("doc_id")
         .agg(
             n_seg.cast("long").alias("n_segments"),
@@ -3122,14 +3138,7 @@ def q_recrawl_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("status").isin("changed", "unchanged"), 1).otherwise(0)
     )
     return (
-        delta.select(
-            F.concat(
-                F.lit("host"),
-                (F.col("doc_id") % 37).cast("string"),
-                F.lit(".example.com"),
-            ).alias("host"),
-            "status",
-        )
+        delta.select(_host_col(), "status")
         .groupBy("host")
         .agg(
             F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
@@ -3231,14 +3240,36 @@ def q_recrawl_priority_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# One definition of the epoch-shuffle contract shared by shuffle_shards,
+# pack_sequences, and training_manifest (Spark helper + the SQL twins
+# interpolate the same constants, so a seed/shard/pack edit cannot drift
+# between the composed queries):
+_SHUFFLE_SEED = ":epoch42"
+_N_SHARDS = 8
+_PACK_LEN = 256
+
+
+def _shard_sort(d: DataFrame) -> DataFrame:
+    """(doc_id, shard, sort_key, n_tokens) — round-robin shard + seeded
+    md5 sort key, the Spark twin of the ordered/cumulated SQL CTEs."""
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % _N_SHARDS).cast("long").alias("shard"),
+        F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SEED))
+        ).alias("sort_key"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+
+
 @_q(
     "shuffle_shards",
-    """
+    f"""
     SELECT doc_id,
-           CAST(doc_id % 8 AS BIGINT) AS shard,
+           CAST(doc_id % {_N_SHARDS} AS BIGINT) AS shard,
            CAST(row_number() OVER (
-                  PARTITION BY doc_id % 8
-                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch42'),
+                  PARTITION BY doc_id % {_N_SHARDS}
+                  ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SEED}'),
                            doc_id
                 ) AS BIGINT) AS pos
     FROM documents
@@ -3260,13 +3291,7 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     w = Window.partitionBy("shard").orderBy("sort_key", "doc_id")
     return (
-        d.select(
-            "doc_id",
-            (F.col("doc_id") % 8).cast("long").alias("shard"),
-            F.md5(
-                F.concat(F.col("doc_id").cast("string"), F.lit(":epoch42"))
-            ).alias("sort_key"),
-        )
+        _shard_sort(d)
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .select("doc_id", "shard", "pos")
     )
@@ -3274,13 +3299,14 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "pack_sequences",
-    """
+    f"""
     WITH ordered AS (
       SELECT doc_id,
-             doc_id % 8 AS shard,
+             doc_id % {_N_SHARDS} AS shard,
              row_number() OVER (
-               PARTITION BY doc_id % 8
-               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch42'), doc_id
+               PARTITION BY doc_id % {_N_SHARDS}
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SEED}'),
+                        doc_id
              ) AS pos,
              CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
                   AS BIGINT) AS n_tokens
@@ -3295,8 +3321,8 @@ def q_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(shard AS BIGINT) AS shard,
-           CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
-           CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_offset,
+           CAST((cum - n_tokens) // {_PACK_LEN} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {_PACK_LEN} AS BIGINT) AS pack_offset,
            n_tokens
     FROM c
     """,
@@ -3324,20 +3350,15 @@ def _pack_manifest(d: DataFrame) -> DataFrame:
         w_pos.rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        d.select(
-            "doc_id",
-            (F.col("doc_id") % 8).cast("long").alias("shard"),
-            F.md5(
-                F.concat(F.col("doc_id").cast("string"), F.lit(":epoch42"))
-            ).alias("sort_key"),
-            TX.token_count(F.col("text")).alias("n_tokens"),
-        )
+        _shard_sort(d)
         .withColumn("_start", cum - F.col("n_tokens"))
         .select(
             "doc_id",
             "shard",
-            F.expr("CAST(_start DIV 256 AS BIGINT)").alias("pack_id"),
-            (F.col("_start") % 256).cast("long").alias("pack_offset"),
+            F.expr(f"CAST(_start DIV {_PACK_LEN} AS BIGINT)").alias(
+                "pack_id"
+            ),
+            (F.col("_start") % _PACK_LEN).cast("long").alias("pack_offset"),
             "n_tokens",
         )
     )
@@ -3346,16 +3367,17 @@ def _pack_manifest(d: DataFrame) -> DataFrame:
 @_q(
     "training_manifest",
     _CURATION_DECIDED_CTES
-    + """
+    + f"""
     , kept AS (
       SELECT d.doc_id, p.n_tokens
       FROM decided d JOIN parts p ON p.doc_id = d.doc_id
       WHERE d.reject_reason IS NULL
     ), ordered AS (
-      SELECT doc_id, doc_id % 8 AS shard, n_tokens,
+      SELECT doc_id, doc_id % {_N_SHARDS} AS shard, n_tokens,
              row_number() OVER (
-               PARTITION BY doc_id % 8
-               ORDER BY md5(CAST(doc_id AS VARCHAR) || ':epoch42'), doc_id
+               PARTITION BY doc_id % {_N_SHARDS}
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || '{_SHUFFLE_SEED}'),
+                        doc_id
              ) AS pos
       FROM kept
     ), cumulated AS (
@@ -3368,8 +3390,8 @@ def _pack_manifest(d: DataFrame) -> DataFrame:
     )
     SELECT doc_id,
            CAST(shard AS BIGINT) AS shard,
-           CAST((cum - n_tokens) // 256 AS BIGINT) AS pack_id,
-           CAST((cum - n_tokens) % 256 AS BIGINT) AS pack_offset,
+           CAST((cum - n_tokens) // {_PACK_LEN} AS BIGINT) AS pack_id,
+           CAST((cum - n_tokens) % {_PACK_LEN} AS BIGINT) AS pack_offset,
            n_tokens
     FROM cumulated
     """,
