@@ -73,16 +73,19 @@ HEADLINE = [
     "ann_lsh",
     "ann_ivf",
     "embedding_neardup",
+    "embedding_neardup_t09",
     "multimodal_features",
     "multimodal_real_decode",
     "winnow_fingerprint",
     "dedup_stream_batch",
     "decontaminate_hashed",
     "segment_dedup",
+    "segment_dedup_hashed",
     "unigram_surprisal",
     "recrawl_delta",
     "recrawl_priority_wave",
     "incremental_dedup",
+    "incremental_dedup_stored",
     "shuffle_shards",
     "pack_sequences",
     "training_manifest",

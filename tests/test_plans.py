@@ -107,6 +107,55 @@ def test_embedding_neardup_has_no_cartesian_product(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_embedding_neardup_t09_bands_prune_subquadratically(spark):
+    """The production-regime entry (t=0.9, r=8-bit bands) must actually
+    PRUNE: the band-bucket candidate set over the registered query's own
+    augmented corpus stays a small fraction of all pairs (the t=0.45
+    stress twin is documented as unprunable; this one is the shape a real
+    pipeline runs), while still containing every planted >=0.9 pair."""
+    from web_scraper_v1_spark.operators.similarity import lsh_signatures
+
+    df = Q.queries()["embedding_neardup_t09"](spark, SF)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    base = spark.read.parquet(f"{SF}/embeddings.parquet").selectExpr(
+        "vec_id", "cast(embedding as array<double>) as embedding"
+    )
+    twins = base.filter("vec_id < 25").selectExpr(
+        "vec_id + 1000000 as vec_id",
+        "transform(embedding, (x, i) -> "
+        "x + 0.05D * element_at(embedding, ((i + 1) % 64) + 1)) as embedding",
+    )
+    aug = base.unionByName(twins)
+    n = aug.count()
+    sigs = lsh_signatures(aug, dim=64, n_planes=32)
+    buckets = sigs.select(
+        "id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), b -> struct("
+                "cast(b as int) as band, "
+                "shiftrightunsigned(sig, cast(b * 8 as int)) & 255"
+                " as band_key))"
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.band_key")
+    la = buckets.select("band", "band_key", F.col("id").alias("id_a"))
+    lb = buckets.select("band", "band_key", F.col("id").alias("id_b"))
+    cand = (
+        la.join(lb, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) // 2
+    assert cand >= 25  # every planted pair is a candidate
+    assert cand < 0.05 * all_pairs, (cand, all_pairs)
+
+
 def test_neardup_verify_join_does_not_force_vector_broadcast(spark):
     """The near-dup verifier's vector lookups must be size-driven, never
     hint-broadcast: an unbounded embedding table cannot ship to every
@@ -294,6 +343,24 @@ def test_segment_dedup_single_scan(spark):
     assert plan.count("Arguments: hashpartitioning") == 2, plan
 
 
+def test_segment_dedup_hashed_exchange_key_width(spark):
+    """The skew-guarded variant's exchanges are keyed on the 8-byte
+    xxhash64(seg), never on the segment STRING: the string is hashed in
+    the scan-side projection, counts are a map-side-partial groupBy (the
+    reduce side of a boilerplate segment receives partial rows, not
+    occurrences), and the join-back is an AQE-skew-splittable equi-join
+    — no count window over raw segments anywhere."""
+    plan = plan_of(Q.queries()["segment_dedup_hashed"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    # every hash exchange keys on seg_h or doc_id — none on seg#
+    assert "hashpartitioning(seg#" not in plan, plan
+    assert "hashpartitioning(seg_h#" in plan, plan
+    # two-phase count: map-side partial before the exchange
+    assert "partial_count" in plan, plan
+    # the string variant's count window is gone from this plan
+    assert "Window" not in plan, plan
+
+
 def test_recrawl_delta_generation_join_on_key(spark):
     """The generation diff is a full-outer equi-join on the url key plus
     one tiny per-host aggregation — two exchanges of generation rows,
@@ -307,20 +374,42 @@ def test_recrawl_delta_generation_join_on_key(spark):
 def test_registry_contract_consistency():
     """The driver-contract wiring cannot silently drift: every bench
     headline name resolves in the registry, every registered query has an
-    oracle, and the verification-first export order actually places every
-    never/least-recently-verified name inside the driver harness's
-    50-query window."""
+    oracle, and the self-maintaining export order (sorted by
+    last-driver-verified round from the CORRECTNESS_r*.json artifacts)
+    actually places every never/least-recently-verified and
+    refactored-this-round name inside the driver harness's 50-query
+    window."""
     import bench
-    from web_scraper_v1_spark.queries import _VERIFY_FIRST
+    from web_scraper_v1_spark.queries import (
+        _REVERIFY,
+        _last_driver_verified,
+    )
 
     qs = Q.queries()
     oracles = Q.oracle_sql()
     assert set(bench.HEADLINE) <= set(qs), set(bench.HEADLINE) - set(qs)
     assert set(oracles) == set(qs)  # every query oracle-gated
-    assert set(_VERIFY_FIRST) <= set(qs)
+    assert _REVERIFY <= set(qs)
+    last = _last_driver_verified()
     order = list(qs)
-    assert order[: len(_VERIFY_FIRST)] == _VERIFY_FIRST
-    assert len(_VERIFY_FIRST) <= 50  # all fit in the checked window
+    rounds_seen = sorted({last.get(n, 0) for n in order})
+    # the export order is non-decreasing in last-verified round (0 =
+    # never verified or refactored this round), so the driver's window
+    # always covers the stalest queries first
+    eff = [0 if n in _REVERIFY else last.get(n, 0) for n in order]
+    assert eff == sorted(eff), eff
+    # every query stale by >=2 rounds relative to the freshest round must
+    # fit in the checked window
+    if rounds_seen:
+        newest = rounds_seen[-1]
+        stale = [
+            n
+            for n in order
+            if n in _REVERIFY or last.get(n, 0) < newest
+        ]
+        assert all(order.index(n) < 50 for n in stale), (
+            f"{len(stale)} stale queries exceed the 50-query window"
+        )
 
 
 def test_shuffle_shards_never_single_partition(spark):

@@ -639,6 +639,15 @@ def test_incremental_probe_matches_inflight(spark, tmp_path):
     }
     assert probed == inflight
     assert probed
+    # the writer persisted a params manifest; probing with different
+    # banding parameters would compute foreign band keys and silently
+    # return near-empty results — it must refuse instead
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different .*parameters"):
+        DD.incremental_minhash_probe(spark, idx, new, bands=16)
+    with _pytest.raises(ValueError, match="n.*3"):
+        DD.incremental_minhash_probe(spark, idx, new, n=4)
     DD.release_all()
 
 

@@ -93,6 +93,11 @@ def _shingles_cached(
         # plan so a collision recomputes instead of silently serving
         # another input's shingles to all three strategies
         if docs.sameSemantics(src):
+            # LRU touch: refresh the entry's position so alternating
+            # workloads (> _SHINGLE_CACHE_MAX distinct inputs in one
+            # session) don't FIFO-evict the hottest frame repeatedly
+            del _SHINGLE_CACHE[key]
+            _SHINGLE_CACHE[key] = (src, df)
             return df
         df.unpersist()
         del _SHINGLE_CACHE[key]
@@ -498,6 +503,15 @@ def minhash_index_write(
         f"{path}/bands"
     )
     sh.write.mode("overwrite").parquet(f"{path}/shingles")
+    # persist the banding parameters next to the data: a probe run with
+    # different num_hashes/bands/n would compute DIFFERENT band keys and
+    # silently return mostly-empty results — the probe validates this
+    # manifest and refuses instead (written via Spark so it lands on
+    # whatever filesystem the index does)
+    docs.sparkSession.createDataFrame(
+        [(num_hashes, bands, n, id_col, text_col)],
+        "num_hashes int, bands int, n int, id_col string, text_col string",
+    ).coalesce(1).write.mode("overwrite").json(f"{path}/params")
 
 
 def incremental_minhash_probe(
@@ -512,11 +526,41 @@ def incremental_minhash_probe(
     text_col: str = "text",
 ) -> DataFrame:
     """``incremental_minhash_pairs`` against a STORED index
-    (``minhash_index_write``): identical results, pytest-gated, but the
-    old side is read from the materialized band buckets and shingle
-    arrays instead of being re-shingled/re-hashed per increment — the
-    actual daily-increment deployment shape. Parameters must match the
-    ones the index was written with."""
+    (``minhash_index_write``): identical results (oracle-gated as the
+    registered ``incremental_dedup_stored`` query, plus the pytest
+    equality twin), but the old side is read from the materialized band
+    buckets and shingle arrays instead of being re-shingled/re-hashed per
+    increment — the actual daily-increment deployment shape. The banding
+    parameters are validated against the manifest the writer persisted;
+    a mismatch raises instead of silently probing with foreign band
+    keys."""
+    stored = {
+        r["key"]: r["val"]
+        for r in spark.read.json(f"{index_path}/params")
+        .selectExpr(
+            "stack(5, 'num_hashes', cast(num_hashes as string),"
+            " 'bands', cast(bands as string), 'n', cast(n as string),"
+            " 'id_col', id_col, 'text_col', text_col) as (key, val)"
+        )
+        .collect()
+    }
+    asked = {
+        "num_hashes": str(num_hashes),
+        "bands": str(bands),
+        "n": str(n),
+        "id_col": id_col,
+        "text_col": text_col,
+    }
+    if stored != asked:
+        diff = {
+            k: (stored.get(k), asked[k])
+            for k in asked
+            if stored.get(k) != asked[k]
+        }
+        raise ValueError(
+            f"minhash index at {index_path} was written with different "
+            f"parameters (stored, requested): {diff}"
+        )
     rows_per_band = num_hashes // bands
     sh_new = _shingles_cached(new_docs, id_col, text_col, n)
     sig_new = _persist(minhash_signatures(sh_new, num_hashes), fresh=True)

@@ -418,6 +418,11 @@ class CrawlEngine:
         failure modes (the reference logs the error class,
         job_processor.go:126-132); None in corpus mode, where a miss has
         exactly one cause (absent from the corpus)."""
+        # a prior round that raised after its fetch persisted (fetch/parse/
+        # commit error) never reached its release site — drop the stranded
+        # frame before overwriting the reference, or it leaks one persisted
+        # DataFrame per failed round
+        self._release_live_fetched()
         wave = F.broadcast(selected) if self.broadcast_wave else selected
         if self.fetcher is not None:
             # live mode: fetch the wave over the network, keep the 200s as
