@@ -118,6 +118,14 @@ def _cpu_counters() -> tuple[int, int]:
         return 0, 0
 
 
+# above this much hypervisor steal over a query's timing window, the
+# measurement inherits the co-tenancy window instead of the code: take an
+# extra timed pass (min-of-3) and stamp the per-query steal so a degraded
+# driver run converges toward the clean number and carries its own evidence
+# (round-4 verdict item 6; BENCH_r04 landed in a 3.67%-steal window)
+STEAL_RETRY_PCT = 2.0
+
+
 def run_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     import gc
 
@@ -128,6 +136,7 @@ def run_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     qs = Q.queries()
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    steal: dict[str, float] = {}
     for name in names:
         fn = qs[name]
         # each query runs twice: the first (recorded separately as
@@ -135,6 +144,7 @@ def run_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         # broadcast setup — measured 5-30 s per NEW plan on this VM in its
         # degraded windows vs 1-4 s steady-state, compile-path noise no
         # real deployment re-pays per query
+        jif0, st0 = _cpu_counters()
         t0 = time.monotonic()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
@@ -142,10 +152,23 @@ def run_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         t0 = time.monotonic()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         second = round(time.monotonic() - t0, 3)
+        jif1, st1 = _cpu_counters()
         # the VM oscillates on ~minute timescales (warm runs measured
         # SLOWER than cold in bad windows); min-of-2 is the noise-robust
         # steady-state estimator, both raw runs are in the JSON
-        timings[name] = min(cold[name], second)
+        best = min(cold[name], second)
+        q_steal = (
+            round(100.0 * (st1 - st0) / (jif1 - jif0), 2)
+            if jif1 > jif0
+            else None
+        )
+        if q_steal is not None and q_steal > STEAL_RETRY_PCT:
+            t0 = time.monotonic()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, round(time.monotonic() - t0, 3))
+        timings[name] = best
+        if q_steal is not None:
+            steal[name] = q_steal
         DD.release_cached()  # drop per-query persisted shingles/signatures
         # drop Python refs so the ContextCleaner can evict orphaned
         # localCheckpoint/broadcast blocks (pagerank, cluster propagation)
@@ -153,7 +176,7 @@ def run_bench(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         # query otherwise bills GC time to its successors
         del df
         gc.collect()
-    return timings, cold
+    return timings, cold, steal
 
 
 def run_wave_bench(spark, n_pages: int = 200_000) -> dict:
@@ -208,6 +231,38 @@ def run_wave_bench(spark, n_pages: int = 200_000) -> dict:
     }
 
 
+def run_scaling_pair(n_pages: int = 800_000) -> dict | None:
+    """Pinned 2-vs-8-core (N vs 4N) scaling pair folded into the per-round
+    artifact (round-4 verdict item 7): subprocesses scripts/scaling_bench.py
+    so the north-rule efficiency ratio lands in BENCH_r{N}.json itself, not
+    only in the builder-run BENCH.md tables. Called AFTER the bench session
+    stops so the taskset-pinned JVMs get a quiet machine. Returns the
+    efficiency record or None (a scaling failure must not kill the bench
+    artifact); set SPARK_GRAFT_SKIP_SCALING=1 to opt out."""
+    import subprocess
+
+    script = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "scripts",
+        "scaling_bench.py",
+    )
+    env = dict(os.environ, SPARK_GRAFT_SCALE_LEVELS="2,8")
+    try:
+        proc = subprocess.run(
+            [sys.executable, script, str(n_pages)],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            env=env,
+        )
+        for ln in reversed(proc.stdout.splitlines()):
+            if ln.startswith("{") and "scaling_efficiency" in ln:
+                return json.loads(ln)
+    except (subprocess.TimeoutExpired, OSError, ValueError):
+        pass
+    return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     names = HEADLINE
@@ -251,7 +306,7 @@ def main() -> None:
     calib_before = _calibration_loop()
     jif0, steal0 = _cpu_counters()
     wave = run_wave_bench(spark)
-    timings, cold = run_bench(spark, sf_dir, names)
+    timings, cold, q_steal = run_bench(spark, sf_dir, names)
     jif1, steal1 = _cpu_counters()
     calib_after = _calibration_loop()
     steal_pct = (
@@ -266,13 +321,30 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+    cores = spark.sparkContext.defaultParallelism
+    # stop the bench session BEFORE the pinned scaling pair: the taskset'd
+    # 2- and 8-core JVMs must not compete with an idle-but-resident 32-core
+    # JVM's GC/daemon threads for their pinned cores
+    spark.stop()
+    scaling = (
+        None
+        if os.environ.get("SPARK_GRAFT_SKIP_SCALING") == "1"
+        else run_scaling_pair()
+    )
     env = {
         # co-tenancy attribution, embedded per round-3 verdict item #5:
         # calibration pace (healthy ~0.3-0.5 s/loop) + hypervisor steal%
-        # over the bench window
+        # over the bench window; per-query steal (queries above
+        # STEAL_RETRY_PCT took a third timed pass, min-of-3) per round-4
+        # item 6
         "calib_loop_before_s": calib_before,
         "calib_loop_after_s": calib_after,
         "steal_pct": steal_pct,
+        "steal_retry_pct": STEAL_RETRY_PCT,
+        # north-rule N-vs-4N evidence in the round artifact itself
+        # (round-4 item 7)
+        "eff_2_8": scaling.get("value") if scaling else None,
+        "scaling": scaling,
     }
     print(
         json.dumps(
@@ -283,8 +355,9 @@ def main() -> None:
                 "queries": timings,
                 "first_run_total_sec": cold_total,
                 "first_run_queries": cold,
+                "query_steal_pct": q_steal,
                 "sf": sf,
-                "cores": spark.sparkContext.defaultParallelism,
+                "cores": cores,
                 "crawl_wave": wave,
                 "env": env,
             }
@@ -306,7 +379,6 @@ def main() -> None:
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -397,6 +397,77 @@ def test_sharded_bloom_bounded_broadcasts_at_frontier_scale():
     assert fp < 0.25  # 4k keys over 8 x 4096 bits: fpp small but nonzero
 
 
+def test_cuckoo_plan_bounded_and_membership():
+    """North-rule sizing for the keyed-delete option (pure numpy): at a
+    10^10-URL frontier no per-shard table exceeds the broadcast bound, and
+    membership has zero false negatives / bounded false positives."""
+    import numpy as np
+
+    from web_scraper_v1_spark.operators.seen import ShardedCuckoo
+
+    n_shards, buckets = ShardedCuckoo.plan(
+        n_keys=10_000_000_000, max_shard_bytes=128 << 20
+    )
+    assert buckets * ShardedCuckoo.SLOTS * 2 <= 128 << 20
+    assert n_shards * buckets * ShardedCuckoo.SLOTS >= 10_000_000_000
+    ck = ShardedCuckoo(n_shards=8, buckets_per_shard=1 << 10)
+    keys = np.arange(0, 20_000, dtype=np.int64) * 2_654_435_761
+    ck.add(keys)  # ~61% load across 8 x 1024 x 4 slots
+    assert ck.contains(keys).all()  # zero false negatives
+    fresh = np.arange(20_000, 60_000, dtype=np.int64) * 2_654_435_761
+    assert ck.contains(fresh).mean() < 0.01  # fp ~ 8/65536 per key
+
+
+def test_cuckoo_exactness_under_churn_with_deletes(spark):
+    """The north rule names a 'bloom/cuckoo URL-seen set'; the cuckoo kind
+    must support KEYED delete (recrawl invalidation of specific URLs
+    mid-generation, which rotating Bloom generations cannot express) and
+    stay exact vs the plain anti-join under insert/delete churn: after
+    every round, filter_new == exact anti-join on the current seen table,
+    and a deleted URL is immediately re-crawlable."""
+    from web_scraper_v1_spark.operators.seen import SeenSet
+
+    def urls(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "xxhash64(concat('u', id)) as url_hash", "concat('u', id) as url"
+        )
+
+    ss = SeenSet(
+        spark, filter_kind="cuckoo", n_shards=8,
+        cuckoo_buckets_per_shard=1 << 10,
+    )
+    ss.load(urls(0, 3000))
+    exact = SeenSet(spark, use_bloom=False)
+    exact.load(urls(0, 3000))
+
+    # churn round 1: add a wave, then invalidate a slice for recrawl
+    ss.add(urls(3000, 5000))
+    exact.add(urls(3000, 5000))
+    ss.delete_keys(urls(1000, 1500))
+    exact._seen_df = exact._seen_df.join(
+        urls(1000, 1500), ["url_hash", "url"], "left_anti"
+    )
+
+    cand = urls(500, 7000)
+    got = sorted(r.url for r in ss.filter_new(cand).collect())
+    want = sorted(r.url for r in exact.filter_new(cand).collect())
+    assert got == want
+    # the invalidated URLs are re-crawlable, the rest still blocked
+    assert "u1200" in got and "u700" not in got and "u4200" not in got
+
+    # churn round 2: re-crawl the invalidated slice, delete another
+    ss.add(urls(1000, 1500))
+    exact.add(urls(1000, 1500))
+    ss.delete_keys(urls(4000, 4100))
+    exact._seen_df = exact._seen_df.join(
+        urls(4000, 4100), ["url_hash", "url"], "left_anti"
+    )
+    got2 = sorted(r.url for r in ss.filter_new(cand).collect())
+    want2 = sorted(r.url for r in exact.filter_new(cand).collect())
+    assert got2 == want2
+    assert "u1200" not in got2 and "u4050" in got2
+
+
 def test_bloom_prefilter_actually_skips_join_work(spark):
     from web_scraper_v1_spark.operators.seen import (
         SeenSet,

@@ -226,6 +226,246 @@ def build_sharded_bits(
     return blocks.treeAggregate(zero, comb_op, comb_op, depth=depth)
 
 
+class ShardedCuckoo:
+    """S independent cuckoo-filter tables keyed by ``key mod S`` — the
+    KEYED-DELETE membership option the north rule names ("bloom/cuckoo
+    URL-seen set"). Rotating Bloom generations (``SeenSet``) can only
+    expire whole TTL windows; a cuckoo filter deletes a *specific* key
+    (e.g. invalidating one recrawled URL mid-generation) because each key
+    occupies an identifiable slot instead of shared bits.
+
+    Layout (partial-key cuckoo hashing, Fan et al. 2014, public): shard s
+    is ``table[s]`` of shape (buckets_per_shard, 4) uint16 fingerprints
+    (0 = empty). A key's 16-bit fingerprint lives in one of TWO candidate
+    buckets: b1 = h(key) mod B and b2 = b1 XOR (h(fp) mod B) — the XOR is
+    self-inverse, so either resident bucket recovers the other from the
+    stored fingerprint alone (what makes eviction and table MERGE possible
+    without the original keys). Same sharding contract as ``ShardedBloom``:
+    per-shard numpy tables sized by ``plan()`` under a broadcast-unit
+    bound, built per-partition and merged via ``treeAggregate``
+    (``build_sharded_cuckoo``).
+
+    No false negatives for resident keys (inserts either succeed or raise
+    at ~95% load); false positives = fingerprint collisions (~2*4/65536
+    per probed bucket pair). ``delete`` zeroes ONE matching fingerprint
+    copy and reports which keys were found; per the standard cuckoo-filter
+    contract it must only be called with keys that were actually inserted
+    (two resident keys sharing (fp, bucket-pair) hold two copies, so
+    deleting one preserves the other — but deleting a NEVER-inserted
+    colliding key would strip a resident's copy). ``SeenSet.delete_keys``
+    honors this by deleting rows drawn from the seen table itself; the
+    exact anti-join downstream keeps correctness regardless — this is a
+    prefilter, exactly like the Bloom."""
+
+    SLOTS = 4
+    MAX_KICKS = 500
+
+    def __init__(self, n_shards: int = 16, buckets_per_shard: int = 1 << 12):
+        assert buckets_per_shard & (buckets_per_shard - 1) == 0
+        self.n_shards = n_shards
+        self.buckets_per_shard = buckets_per_shard
+        self.table = np.zeros(
+            (n_shards, buckets_per_shard, self.SLOTS), dtype=np.uint16
+        )
+
+    @classmethod
+    def plan(
+        cls,
+        n_keys: int,
+        max_shard_bytes: int = 128 << 20,
+        load: float = 0.84,
+    ) -> tuple[int, int]:
+        """Size (n_shards, buckets_per_shard) for ``n_keys`` at the classic
+        ~84% safe load factor with every shard table (= broadcast unit)
+        bounded by ``max_shard_bytes`` — mirror of ``ShardedBloom.plan``.
+        At 10^10 keys this is ~24 GiB of 16-bit slots -> ~186 shards of
+        128 MiB."""
+        total_buckets = max(1, math.ceil(n_keys / (cls.SLOTS * load)))
+        bytes_per_bucket = cls.SLOTS * 2
+        n_shards = max(
+            1, math.ceil(total_buckets * bytes_per_bucket / max_shard_bytes)
+        )
+        per_shard = 1 << max(4, math.ceil(math.log2(total_buckets / n_shards)))
+        while per_shard * bytes_per_bucket > max_shard_bytes:
+            n_shards *= 2
+            per_shard = 1 << max(
+                4, math.ceil(math.log2(total_buckets / n_shards))
+            )
+        return n_shards, per_shard
+
+    # -- key decomposition --------------------------------------------------
+    def _alt_offset(self, fp: np.ndarray) -> np.ndarray:
+        a, _ = _mix(fp.astype(np.uint64))
+        return (a & np.uint64(self.buckets_per_shard - 1)).astype(np.int64)
+
+    def _decompose(self, keys: np.ndarray):
+        """(shard, fingerprint, bucket1, bucket2) per key, vectorized."""
+        k = np.asarray(keys)
+        h1, h2 = _mix(k)
+        fp = (h1 & np.uint64(0xFFFF)).astype(np.uint16)
+        fp = np.where(fp == 0, np.uint16(1), fp)  # 0 marks an empty slot
+        b1 = (h2 & np.uint64(self.buckets_per_shard - 1)).astype(np.int64)
+        b2 = b1 ^ self._alt_offset(fp)
+        return _shard_of(k, self.n_shards), fp, b1, b2
+
+    # -- ops ------------------------------------------------------------------
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        shard, fp, b1, b2 = self._decompose(keys)
+        return ((self.table[shard, b1] == fp[:, None]).any(axis=1)) | (
+            (self.table[shard, b2] == fp[:, None]).any(axis=1)
+        )
+
+    def _insert_entry(self, s: int, f: int, b: int) -> bool:
+        """Place fingerprint ``f`` into shard ``s`` starting from candidate
+        bucket ``b`` (its pair bucket is recovered from ``f``), kicking
+        residents cuckoo-style when both are full. Deterministic victim
+        slot (no RNG) keeps builds bit-reproducible."""
+        alt = b ^ int(self._alt_offset(np.array([f], dtype=np.uint16))[0])
+        for cand in (b, alt):
+            row = self.table[s, cand]
+            free = np.nonzero(row == 0)[0]
+            if free.size:
+                row[free[0]] = f
+                return True
+        cur = b
+        for kick in range(self.MAX_KICKS):
+            slot = (f + kick) % self.SLOTS
+            victim = int(self.table[s, cur, slot])
+            self.table[s, cur, slot] = f
+            f = victim
+            cur = cur ^ int(
+                self._alt_offset(np.array([f], dtype=np.uint16))[0]
+            )
+            row = self.table[s, cur]
+            free = np.nonzero(row == 0)[0]
+            if free.size:
+                row[free[0]] = f
+                return True
+        return False
+
+    def add(self, keys: np.ndarray) -> None:
+        """Insert keys; raises if a shard exceeds its safe load (size with
+        ``plan()``) — an insert that silently dropped a key would be a
+        false NEGATIVE, which the seen-set contract forbids."""
+        if len(keys) == 0:
+            return
+        shard, fp, b1, _ = self._decompose(keys)
+        for s, f, b in zip(shard.tolist(), fp.tolist(), b1.tolist()):
+            if not self._insert_entry(int(s), int(f), int(b)):
+                raise RuntimeError(
+                    f"cuckoo shard {s} overfull (buckets_per_shard="
+                    f"{self.buckets_per_shard}); size with plan()"
+                )
+
+    def delete(self, keys: np.ndarray) -> np.ndarray:
+        """Remove ONE stored copy of each key's fingerprint (keyed delete —
+        the recrawl-invalidation path). Returns a bool mask of keys that
+        were actually resident; absent keys are left untouched."""
+        if len(keys) == 0:
+            return np.zeros(0, dtype=bool)
+        shard, fp, b1, b2 = self._decompose(keys)
+        out = np.zeros(len(fp), dtype=bool)
+        for i, (s, f) in enumerate(zip(shard.tolist(), fp.tolist())):
+            for b in (int(b1[i]), int(b2[i])):
+                row = self.table[s, b]
+                hit = np.nonzero(row == f)[0]
+                if hit.size:
+                    row[hit[0]] = 0
+                    out[i] = True
+                    break
+        return out
+
+    def merge(self, other: "ShardedCuckoo") -> np.ndarray:
+        """Re-insert every resident fingerprint of ``other`` (the XOR pair
+        rule recovers each entry's alternate bucket without the original
+        keys) — the treeAggregate combine op. Returns the mask of shards
+        this merge changed (only those need re-broadcast)."""
+        assert self.table.shape == other.table.shape
+        changed = np.zeros(self.n_shards, dtype=bool)
+        for s in range(self.n_shards):
+            bs, slots = np.nonzero(other.table[s])
+            if not bs.size:
+                continue
+            changed[s] = True
+            for b, sl in zip(bs.tolist(), slots.tolist()):
+                if not self._insert_entry(s, int(other.table[s, b, sl]), b):
+                    raise RuntimeError(
+                        f"cuckoo shard {s} overfull during merge; "
+                        "size with plan()"
+                    )
+        return changed
+
+
+def build_sharded_cuckoo(
+    df: DataFrame, key_col: str, n_shards: int, buckets_per_shard: int
+) -> "ShardedCuckoo":
+    """Distributed cuckoo build, mirror of ``build_sharded_bits``: one
+    per-partition table (vectorized decompose + insert loop over the
+    partition's keys), entry-merged tree-wise via ``treeAggregate`` (the
+    cuckoo combine is re-insertion, not OR — slot placement differs by
+    merge order, membership does not)."""
+    proto = ShardedCuckoo(n_shards, buckets_per_shard)
+    zero = np.zeros_like(proto.table)
+
+    def _wrap(table: np.ndarray) -> ShardedCuckoo:
+        ck = ShardedCuckoo.__new__(ShardedCuckoo)
+        ck.n_shards = n_shards
+        ck.buckets_per_shard = buckets_per_shard
+        ck.table = table
+        return ck
+
+    def seq_op(rows) -> np.ndarray:
+        ck = _wrap(zero.copy())
+        ck.add(np.fromiter((r[0] for r in rows), dtype=np.int64))
+        return ck.table
+
+    def comb_op(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        ck = _wrap(a)
+        ck.merge(_wrap(b))
+        return ck.table
+
+    n_parts = max(1, df.rdd.getNumPartitions())
+    depth = 2 if n_parts <= 64 else 3
+    blocks = df.select(key_col).rdd.mapPartitions(lambda it: [seq_op(it)])
+    merged = blocks.treeAggregate(zero, comb_op, comb_op, depth=depth)
+    return _wrap(merged)
+
+
+def cuckoo_contains_col(spark, cuckoo: ShardedCuckoo, key: Column) -> Column:
+    """Membership test column over per-shard broadcasts (lazy torrent
+    fetch: a task whose candidates are repartitioned by pmod(key, S) pulls
+    one shard table) — the cuckoo twin of ``bloom_contains_col``."""
+    bcs = [
+        spark.sparkContext.broadcast(cuckoo.table[s])
+        for s in range(cuckoo.n_shards)
+    ]
+    return _cuckoo_contains_from_broadcasts(
+        bcs, cuckoo.n_shards, cuckoo.buckets_per_shard, key
+    )
+
+
+def _cuckoo_contains_from_broadcasts(
+    bcs: list, n_shards: int, buckets_per_shard: int, key: Column
+) -> Column:
+    @F.pandas_udf("boolean")
+    def _contains(keys: pd.Series) -> pd.Series:
+        k = keys.to_numpy(dtype=np.int64)
+        ck = ShardedCuckoo.__new__(ShardedCuckoo)
+        ck.n_shards = 1
+        ck.buckets_per_shard = buckets_per_shard
+        shard = _shard_of(k, n_shards)
+        out = np.zeros(len(k), dtype=bool)
+        for s in np.unique(shard):
+            m = shard == s
+            ck.table = bcs[int(s)].value[None, :, :]
+            out[m] = ck.contains(k[m])
+        return pd.Series(out)
+
+    return _contains(key)
+
+
 def bloom_contains_col(spark, bloom: ShardedBloom, key: Column) -> Column:
     """Membership test column with per-shard broadcasts created for this
     call (test/one-shot path; ``SeenSet`` manages long-lived per-shard
@@ -302,6 +542,13 @@ class SeenSet:
     expired keys (intra-generation mixing) — false positives only; the
     exact TTL-filtered anti-join preserves exactness, and zero false
     negatives holds per generation by construction.
+
+    ``filter_kind="cuckoo"`` swaps the approximate side for a
+    ``ShardedCuckoo``: same prefilter contract (no false negatives, exact
+    anti-join backstop), plus KEYED delete — ``delete_keys(df)`` removes
+    specific URLs from both the exact table and the filter (recrawl
+    invalidation mid-generation, which rotating Bloom generations cannot
+    express). TTL generations apply only to the Bloom kind.
     """
 
     def __init__(
@@ -312,16 +559,23 @@ class SeenSet:
         use_bloom: bool = True,
         n_shards: int = 16,
         ttl_rounds: int | None = None,
+        filter_kind: str = "bloom",
+        cuckoo_buckets_per_shard: int = 1 << 12,
     ):
+        assert filter_kind in ("bloom", "cuckoo")
         self.spark = spark
         self.use_bloom = use_bloom
+        self.filter_kind = filter_kind
         self.n_shards = n_shards
         self.n_hashes = n_hashes
         self.bits_per_shard = max(64, n_bits // n_shards)
+        self.cuckoo_buckets_per_shard = cuckoo_buckets_per_shard
         self.ttl_rounds = ttl_rounds
         # generation id -> (sharded bloom, per-shard broadcasts)
         self._gens: dict[int, ShardedBloom] = {}
         self._gen_bcs: dict[int, list] = {}
+        self._cuckoo: ShardedCuckoo | None = None
+        self._cuckoo_bcs: list = []
         self._seen_df: DataFrame | None = None
         self._nonempty = False
 
@@ -381,16 +635,26 @@ class SeenSet:
             self._drop_gen(g)
         self._seen_df = seen_df
         self._nonempty = bool(seen_df.take(1))
-        if self.use_bloom and self._nonempty:
-            g = self._gen_of(round_id)
-            self._gen_for(g).bits2d = build_sharded_bits(
+        if not (self.use_bloom and self._nonempty):
+            return
+        if self.filter_kind == "cuckoo":
+            self._cuckoo = build_sharded_cuckoo(
                 seen_df,
                 "url_hash",
                 self.n_shards,
-                self.bits_per_shard,
-                self.n_hashes,
+                self.cuckoo_buckets_per_shard,
             )
-            self._publish(g)
+            self._publish_cuckoo()
+            return
+        g = self._gen_of(round_id)
+        self._gen_for(g).bits2d = build_sharded_bits(
+            seen_df,
+            "url_hash",
+            self.n_shards,
+            self.bits_per_shard,
+            self.n_hashes,
+        )
+        self._publish(g)
 
     def set_exact(self, seen_df: DataFrame) -> None:
         """Swap the exact side (e.g. to a freshly committed snapshot read)
@@ -413,23 +677,98 @@ class SeenSet:
             )
         )
         self._nonempty = True
-        if self.use_bloom:
-            g = self._gen_of(round_id)
-            bloom = self._gen_for(g)
-            round_bits = build_sharded_bits(
+        if not self.use_bloom:
+            return
+        if self.filter_kind == "cuckoo":
+            if self._cuckoo is None:
+                self._cuckoo = ShardedCuckoo(
+                    self.n_shards, self.cuckoo_buckets_per_shard
+                )
+            increment = build_sharded_cuckoo(
                 new_df,
                 "url_hash",
                 self.n_shards,
-                self.bits_per_shard,
-                self.n_hashes,
+                self.cuckoo_buckets_per_shard,
             )
-            changed = bloom.merge_bits(round_bits)
-            self._publish(g, changed)
+            changed = self._cuckoo.merge(increment)
+            self._publish_cuckoo(changed)
+            return
+        g = self._gen_of(round_id)
+        bloom = self._gen_for(g)
+        round_bits = build_sharded_bits(
+            new_df,
+            "url_hash",
+            self.n_shards,
+            self.bits_per_shard,
+            self.n_hashes,
+        )
+        changed = bloom.merge_bits(round_bits)
+        self._publish(g, changed)
+
+    def delete_keys(self, deleted_df: DataFrame) -> None:
+        """KEYED delete (cuckoo kind): remove specific (url_hash, url) rows
+        from the exact table AND their fingerprints from the filter —
+        recrawl invalidation of individual URLs mid-generation. The
+        deletion wave is politeness-bounded like a crawl round, so its
+        hashes collect driver-side (same budget as the round's metrics
+        collect). With the Bloom kind only the exact side shrinks (bits
+        stay — false-positive-only, correctness preserved by the
+        anti-join)."""
+        if self._seen_df is None:
+            return
+        dele = deleted_df.select("url_hash", "url")
+        self._seen_df = self._seen_df.select("url_hash", "url").join(
+            dele, ["url_hash", "url"], "left_anti"
+        )
+        self._nonempty = bool(self._seen_df.take(1))
+        if self.filter_kind == "cuckoo" and self._cuckoo is not None:
+            keys = np.fromiter(
+                (r[0] for r in dele.select("url_hash").collect()),
+                dtype=np.int64,
+            )
+            if keys.size:
+                shards = np.unique(_shard_of(keys, self.n_shards))
+                self._cuckoo.delete(keys)
+                changed = np.zeros(self.n_shards, dtype=bool)
+                changed[shards] = True
+                self._publish_cuckoo(changed)
+
+    def _publish_cuckoo(self, changed=None) -> None:
+        if not self._cuckoo_bcs:
+            self._cuckoo_bcs = [None] * self.n_shards
+        for s in range(self.n_shards):
+            if changed is not None and not changed[s] and (
+                self._cuckoo_bcs[s] is not None
+            ):
+                continue
+            old = self._cuckoo_bcs[s]
+            self._cuckoo_bcs[s] = self.spark.sparkContext.broadcast(
+                self._cuckoo.table[s]
+            )
+            if old is not None:
+                old.unpersist()
 
     def filter_new(self, candidates: DataFrame) -> DataFrame:
         if self._seen_df is None or not self._nonempty:
             return candidates
         seen = self._seen_df.select("url_hash", "url")
+        if self.filter_kind == "cuckoo":
+            if not self.use_bloom or self._cuckoo is None:
+                return candidates.join(seen, ["url_hash", "url"], "left_anti")
+            maybe = _cuckoo_contains_from_broadcasts(
+                self._cuckoo_bcs,
+                self.n_shards,
+                self.cuckoo_buckets_per_shard,
+                F.col("url_hash"),
+            )
+            flagged = candidates.withColumn("_maybe_seen", maybe)
+            new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+            surv = (
+                flagged.filter(F.col("_maybe_seen"))
+                .drop("_maybe_seen")
+                .join(seen, ["url_hash", "url"], "left_anti")
+            )
+            return new.unionByName(surv)
         gen_bcs = [
             self._gen_bcs[g]
             for g in sorted(self._gens)

@@ -3700,6 +3700,17 @@ _REVERIFY: set[str] = {
     # round 5: decision-cache refactor of the shared _curation_decisions
     "curation_pipeline",
     "training_manifest",
+    # round 5: SeenSet.filter_new restructured for the cuckoo option
+    "seen_anti_join_urls",
+    # round 5: CrawlEngine._wave_join stranded-frame release
+    "crawl_slice",
+    # round 5: shingle-cache LRU touch — every query sharing the cache
+    "minhash_lsh_dedup",
+    "simhash_dedup",
+    "ngram_jaccard_dedup",
+    "incremental_dedup",
+    "dedup_pipeline",
+    "dedup_clusters",
 }
 
 
