@@ -27,6 +27,7 @@ HEADLINE = [
     "priority_wave",
     "crawl_delay_wave",
     "seen_anti_join_urls",
+    "seen_anti_join_urls_cuckoo",
     "url_canonicalize",
     "robots_filter",
     "link_extract",

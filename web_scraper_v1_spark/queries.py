@@ -600,6 +600,45 @@ def q_seen_anti_join_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "seen_anti_join_urls_cuckoo",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ), seen AS (
+      SELECT url FROM u WHERE doc_id % 7 = 0
+    ), deleted AS (
+      SELECT url FROM u WHERE doc_id % 7 = 0 AND doc_id % 5 = 0
+    )
+    SELECT doc_id, url FROM u
+    WHERE url NOT IN (SELECT url FROM seen WHERE url NOT IN
+                      (SELECT url FROM deleted))
+    """,
+)
+def q_seen_anti_join_urls_cuckoo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cuckoo-kind seen set end-to-end WITH a keyed delete — the
+    operation the north rule's "bloom/cuckoo" naming demands and rotating
+    Bloom generations cannot express: load the seen set, invalidate a
+    recrawl slice (doc_id % 5 = 0) by key, and the invalidated URLs come
+    back as crawlable while the rest stay blocked. Prefilter is the
+    ShardedCuckoo (treeAggregate-built, per-shard broadcasts, fingerprints
+    actually REMOVED on delete); exactness over the approximate filter is
+    what the oracle certifies (operators/seen.py)."""
+    urls = _derived_urls(spark, sf_dir)
+    cand = urls.withColumn("url_hash", U.url_hash(F.col("url")))
+    seen = cand.filter(F.col("doc_id") % 7 == 0).select("url_hash", "url")
+    ss = SeenSet(
+        spark, filter_kind="cuckoo", n_shards=16,
+        cuckoo_buckets_per_shard=1 << 10,
+    )
+    ss.load(seen)
+    ss.delete_keys(
+        cand.filter((F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 == 0))
+        .select("url_hash", "url")
+    )
+    return ss.filter_new(cand).select("doc_id", "url")
+
+
+@_q(
     "crawl_slice",
     f"""
     WITH seeds AS (
