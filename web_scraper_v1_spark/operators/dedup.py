@@ -499,9 +499,15 @@ def minhash_index_write(
     sh = _shingles_cached(docs, id_col, text_col, n)
     sigs = minhash_signatures(sh, num_hashes)
     buckets = _minhash_buckets(sigs, bands, rows_per_band)
-    buckets.write.mode("overwrite").partitionBy("band").parquet(
-        f"{path}/bands"
-    )
+    # align output files to the partition layout BEFORE the partitionBy
+    # write: without the repartition every task holds rows of every band
+    # and the writer fans out shuffle_partitions x bands tiny files (the
+    # classic partitioned-write anti-pattern — measured 1024 files and
+    # ~10 s at sandbox scale; at 10 TB it would be file-count death for
+    # the namenode). One exchange keyed on band -> one file per band dir.
+    buckets.repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(f"{path}/bands")
     sh.write.mode("overwrite").parquet(f"{path}/shingles")
     # persist the banding parameters next to the data: a probe run with
     # different num_hashes/bands/n would compute DIFFERENT band keys and
