@@ -91,6 +91,11 @@ HEADLINE = [
     "pack_sequences",
     "training_manifest",
     "retry_backoff",
+    # round-5 curation additions
+    "dsir_select",
+    "domain_frequency_cap",
+    "dup_span_stats",
+    "mixture_token_budget",
 ]
 
 

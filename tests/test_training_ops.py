@@ -717,3 +717,127 @@ def test_incremental_dedup_overlapping_batches(spark):
     rows2 = DD.incremental_minhash_pairs(old, new2, threshold=0.5).collect()
     assert rows2 == [], rows2
     DD.release_all()
+
+
+# --------------------------------------------------------------------------
+# Round-5 curation additions (the registry queries are oracle-gated; these
+# tests pin the SEMANTICS on planted inputs and the determinism properties
+# the oracles can't see)
+# --------------------------------------------------------------------------
+
+
+def _write_documents(spark, tmp_path, rows):
+    """Materialize a planted documents table shaped like the testdata one
+    so the registry queries (which read {sf_dir}/documents.parquet) run
+    on it unchanged."""
+    df = spark.createDataFrame(
+        [
+            (i, t, lang, f"src{i % 20}", len(t))
+            for i, t, lang in rows
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    out = str(tmp_path / "planted")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    return out
+
+
+def test_dup_span_stats_planted_runs(spark, tmp_path):
+    """The gaps-and-islands run length equals the number of 5-gram
+    positions a verbatim-shared sentence covers (len - 5 + 1), and docs
+    with no cross-doc 5-grams report zero."""
+    from web_scraper_v1_spark import queries as Q
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 words
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, shared + " unique tail one alpha beta gamma", "en"),
+            (2, "prefix words here two " + shared, "en"),
+            (3, "totally unrelated text with its own private words only",
+             "en"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.max_dup_run)
+        for r in Q.queries()["dup_span_stats"](spark, sf).collect()
+    }
+    # the 9-word shared sentence spans 9 - 5 + 1 = 5 consecutive 5-gram
+    # positions in each doc that contains it verbatim
+    assert got[1][2] == 5, got
+    assert got[2][2] == 5, got
+    assert got[1][1] == 5 and got[2][1] == 5, got
+    assert got[3][1:] == (0, 0), got
+
+
+def test_dsir_select_prefers_target_lang(spark, tmp_path):
+    """Docs whose bigrams dominate the target (en) slice must outrank
+    docs built from bigrams the target never uses: the integer
+    likelihood-ratio surrogate is monotone in tgt/raw."""
+    from web_scraper_v1_spark import queries as Q
+
+    rows = []
+    # target-defining en docs share a vocabulary
+    for i in range(6):
+        rows.append((i, "model training data quality tokens corpus "
+                        "scale compute", "en"))
+    # a non-en doc written in the target vocabulary -> should score high
+    rows.append((100, "model training data quality tokens corpus scale "
+                      "compute", "de"))
+    # non-en docs with disjoint vocabulary -> should score low
+    for i in range(6):
+        rows.append((200 + i, f"voiture rouge maison{i} arbre fleur "
+                              f"soleil lune etoile", "fr"))
+    sf = _write_documents(spark, tmp_path, rows)
+    out = Q.queries()["dsir_select"](spark, sf).collect()
+    score = {r.doc_id: r.importance for r in out}
+    assert score[100] == score[0]  # same bigrams -> same importance
+    assert score[100] > max(score[200 + i] for i in range(6)), score
+
+
+def test_domain_frequency_cap_properties(spark):
+    """Kept count per host is min(host_cnt, cap); ranks are a prefix of
+    the md5 order; a second run returns the identical set (seeded-hash
+    determinism, independent of physical row order)."""
+    from web_scraper_v1_spark import queries as Q
+
+    q = Q.queries()["domain_frequency_cap"]
+    a = q(spark, SF).collect()
+    by_host: dict[int, list] = {}
+    for r in a:
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        cap = rs[0].cap
+        cnt = rs[0].host_cnt
+        assert cap == 5 + cnt // 3
+        assert len(rs) == min(cnt, cap)
+        assert sorted(r.rk for r in rs) == list(range(1, len(rs) + 1))
+    b = q(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_mixture_token_budget_greedy_fill(spark):
+    """Within each source, the admitted docs are exactly the greedy
+    md5-ordered prefix: every admitted doc starts under budget, and the
+    cumulative sums are consistent with the per-doc token counts."""
+    from web_scraper_v1_spark import queries as Q
+
+    out = Q.queries()["mixture_token_budget"](spark, SF).collect()
+    by_src: dict[str, list] = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src, "query returned nothing"
+    for src, rs in by_src.items():
+        budget = rs[0].budget_tokens
+        n = int(src[3:]) % 4 + 1
+        assert budget == n * 800
+        rs = sorted(rs, key=lambda r: r.cum_tokens)
+        run = 0
+        for r in rs:
+            assert r.cum_tokens - r.n_tokens < budget
+            run += r.n_tokens
+            assert r.cum_tokens == run

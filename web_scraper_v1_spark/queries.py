@@ -3734,6 +3734,350 @@ def q_retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-5 curation additions: DSIR-style hashed-n-gram importance
+# resampling, per-domain frequency capping, duplicated-span statistics
+# (the exact-substring dedup signal), and mixture token budgeting.
+# --------------------------------------------------------------------------
+
+# md5's first two hex chars -> a 0..255 feature bucket, written with the
+# same 1-based strpos/instr arithmetic in both engines (Spark has conv(),
+# DuckDB doesn't; strpos over a hex alphabet is the shared subset)
+_MD5_BUCKET_SPARK = (
+    "(instr('0123456789abcdef', substring(md5(s), 1, 1)) - 1) * 16"
+    " + instr('0123456789abcdef', substring(md5(s), 2, 1)) - 1"
+)
+_MD5_BUCKET_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(s), 1, 1)) - 1) * 16"
+    " + strpos('0123456789abcdef', substr(md5(s), 2, 1)) - 1"
+)
+
+
+@_q(
+    "dsir_select",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, lang, {_MD5_BUCKET_DUCK} AS b
+      FROM (
+        SELECT doc_id, lang, w[i] || ' ' || w[i+1] AS s
+        FROM tok, UNNEST(range(1, len(w))) AS t(i)
+        WHERE len(w) >= 2
+      )
+    ), buckets AS (
+      SELECT b,
+             CAST(count(*) AS BIGINT) AS raw_cnt,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tgt_cnt
+      FROM grams GROUP BY b
+    )
+    SELECT doc_id,
+           CAST(sum((tgt_cnt + 1) * 1000000 // (raw_cnt + 1))
+                AS BIGINT) AS importance
+    FROM grams JOIN buckets USING (b)
+    GROUP BY doc_id
+    ORDER BY importance DESC, doc_id LIMIT 100
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, public): score every
+    document by how much its hashed-n-gram feature distribution looks
+    like a target domain (here the ``lang='en'`` slice stands in for the
+    target corpus), keep the top-k. Word bigrams hash into 256 buckets
+    (md5 head, identical strpos arithmetic in both engines); the
+    per-bucket likelihood ratio is the log-free integer surrogate
+    ``(tgt+1)*10^6 DIV (raw+1)`` (Laplace-smoothed, monotone in the
+    ratio, exact int64 in both engines — the repo-wide no-double-sums
+    rule), summed over the doc's bigram OCCURRENCES. Shape at 100 TB:
+    the token stream is tokenized, hashed, and COMPACTED to per-(doc,
+    bucket) occurrence counts in one scan (<=256 rows per doc however
+    long the doc; persisted, since both the bucket totals and the
+    scoring pass read it); the bucket table is <=256 rows whatever the
+    corpus size, so scoring is a broadcast-hash-join + per-doc partial
+    agg, and top-k is TakeOrdered (no global sort). The 10^6 scale
+    keeps the sum under int64 through ~10^12-gram buckets; a
+    10^13-token corpus would drop it to 10^4."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", "lang", TX.tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 1),"
+                    " i -> concat(w[i-1], ' ', w[i]))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "lang", F.expr(_MD5_BUCKET_SPARK).alias("b"))
+    )
+    compact = DD._persist(
+        grams.groupBy("doc_id", "lang", "b").agg(
+            F.count("*").cast("long").alias("n")
+        )
+    )
+    buckets = compact.groupBy("b").agg(
+        F.sum("n").cast("long").alias("raw_cnt"),
+        F.sum(F.when(F.col("lang") == "en", F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("tgt_cnt"),
+    )
+    return (
+        compact.join(F.broadcast(buckets), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr("n * ((tgt_cnt + 1) * 1000000L DIV (raw_cnt + 1))")
+            )
+            .cast("long")
+            .alias("importance")
+        )
+        .orderBy(F.desc("importance"), F.asc("doc_id"))
+        .limit(100)
+    )
+
+
+@_q(
+    "domain_frequency_cap",
+    """
+    WITH ranked AS (
+      SELECT doc_id, doc_id % 37 AS host,
+             count(*) OVER (PARTITION BY doc_id % 37) AS host_cnt,
+             row_number() OVER (
+               PARTITION BY doc_id % 37
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    )
+    SELECT doc_id, CAST(host AS BIGINT) AS host,
+           CAST(host_cnt AS BIGINT) AS host_cnt,
+           CAST(5 + host_cnt // 3 AS BIGINT) AS cap,
+           CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5 + host_cnt // 3
+    """,
+)
+def q_domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping — the anti-over-representation rule of
+    CommonCrawl-scale curation (RefinedWeb/C4 bound any single domain's
+    contribution so template farms can't dominate the training mix).
+    Unlike ``per_host_wave`` (priority top-k for SCHEDULING), the cap
+    here is a deterministic uniform sample: docs rank by md5(doc_id)
+    inside their host (seeded-hash order, the epoch-reshuffle
+    discipline), and the cap GROWS SUBLINEARLY with host size
+    (5 + n/3), so big hosts keep a shrinking fraction. Shape at 100 TB:
+    host count and rank come from the SAME window partitioning — one
+    exchange keyed by host, no groupBy-count + join-back double scan;
+    host skew is the frontier's known profile and the md5 order makes
+    the kept subset stable under any physical row order."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("host")
+    wr = w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select(
+        "doc_id", (F.col("doc_id") % 37).cast("long").alias("host")
+    ).select(
+        "doc_id",
+        "host",
+        F.count("*").over(w).cast("long").alias("host_cnt"),
+        F.row_number().over(wr).cast("long").alias("rk"),
+    )
+    return ranked.withColumn(
+        "cap", (F.lit(5) + F.expr("host_cnt DIV 3")).cast("long")
+    ).filter(F.col("rk") <= F.col("cap")).select(
+        "doc_id", "host", "host_cnt", "cap", "rk"
+    )
+
+
+@_q(
+    "dup_span_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(w[i+1:i+5], ' ') AS s
+      FROM tok, UNNEST(range(0, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5
+    ), df AS (
+      SELECT s, count(DISTINCT doc_id) AS ndocs FROM grams GROUP BY s
+    ), marked AS (
+      SELECT g.doc_id, g.pos, (d.ndocs > 1) AS dup
+      FROM grams g JOIN df d USING (s)
+    ), runs AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS max_dup_run
+      FROM (
+        SELECT doc_id, isl, count(*) AS c
+        FROM (
+          SELECT doc_id,
+                 pos - row_number() OVER (
+                   PARTITION BY doc_id ORDER BY pos) AS isl
+          FROM marked WHERE dup
+        ) GROUP BY doc_id, isl
+      ) GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_dup_grams
+      FROM marked GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_grams, t.n_dup_grams,
+           CAST(coalesce(r.max_dup_run, 0) AS BIGINT) AS max_dup_run
+    FROM totals t LEFT JOIN runs r USING (doc_id)
+    """,
+)
+def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better', public): per document,
+    how many of its OVERLAPPING word 5-grams also occur in another
+    document, and the longest consecutive run of such positions — the
+    run length is the length of the longest substring shared verbatim
+    with the rest of the corpus, which is the criterion ExactSubstr
+    cuts on (they use 50 BPE tokens; 5 words fits the sandbox corpus).
+    Distinct from ``segment_dedup`` (non-overlapping fixed segments):
+    spans here slide, so a single copied sentence lights up every
+    position it covers. Plan: the corpus tokenizes and explodes ONCE —
+    gram document-frequency is NOT a groupBy + join-back (that would
+    re-tokenize the corpus a second time) but the dense_rank/max window
+    pair over the gram partitioning (count-distinct-over-window, which
+    Spark lacks natively, expressed as max(dense_rank)); the single wide
+    exchange is keyed by the gram, exactly like segment_dedup. The
+    marked frame is persisted because both the per-doc totals and the
+    gaps-and-islands run detection (pos - row_number inside each doc
+    partition — narrow) read it. Strings stay the key so the DuckDB
+    replay is exact; production would xxhash64 them (the
+    decontaminate_hashed precedent)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5),"
+                    " i -> array_join(slice(w, i + 1, 5), ' '))"
+                )
+            ).alias("pos", "s"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "s")
+    )
+    wg = Window.partitionBy("s")
+    marked = DD._persist(
+        grams.select(
+            "doc_id",
+            "pos",
+            (
+                F.max(
+                    F.dense_rank().over(wg.orderBy("doc_id"))
+                ).over(wg)
+                > 1
+            ).alias("dup"),
+        )
+    )
+    totals = marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_grams"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_grams"),
+    )
+    isl = (
+        marked.filter(F.col("dup"))
+        .select(
+            "doc_id",
+            (
+                F.col("pos")
+                - F.row_number().over(
+                    Window.partitionBy("doc_id").orderBy("pos")
+                )
+            ).alias("isl"),
+        )
+        .groupBy("doc_id", "isl")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").cast("long").alias("max_dup_run"))
+    )
+    return totals.join(isl, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        "n_dup_grams",
+        F.coalesce(F.col("max_dup_run"), F.lit(0))
+        .cast("long")
+        .alias("max_dup_run"),
+    )
+
+
+@_q(
+    "mixture_token_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens,
+             CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 800
+                  AS BIGINT) AS budget_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens, budget_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, budget_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < budget_tokens
+    """,
+)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture token budgeting — the 'data mixing' step that turns
+    per-source weights (DoReMi-style static weights; here derived
+    deterministically from the source id) into an actual document
+    selection: each source admits documents in seeded md5 order until
+    its token budget is exhausted (a doc is admitted iff the budget
+    isn't already spent when it starts, so the cut is deterministic and
+    one doc may straddle the boundary — the standard greedy fill).
+    Shape at 100 TB: one cumulative-sum window per source partition
+    (int64-exact, rows-frame), weight table is arithmetic on the source
+    key (a real run would broadcast a <=10^3-row mixture table); no
+    global sort, no driver loop. The md5 order makes the admitted set
+    independent of physical row order — resumable and re-runnable."""
+    d = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = d.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+        (
+            (F.substring("source", 4, 10).cast("int") % 4 + 1) * 800
+        )
+        .cast("long")
+        .alias("budget_tokens"),
+    )
+    return (
+        base.withColumn(
+            "cum_tokens", F.sum("n_tokens").over(w).cast("long")
+        )
+        .filter(
+            F.col("cum_tokens") - F.col("n_tokens")
+            < F.col("budget_tokens")
+        )
+        .select(
+            "doc_id", "source", "n_tokens", "budget_tokens", "cum_tokens"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
 
