@@ -427,3 +427,50 @@ def test_pack_sequences_single_shard_exchange(spark):
     plan = plan_of(Q.queries()["pack_sequences"](spark, SF))
     assert "SinglePartition" not in plan, plan
     assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+def test_dsir_select_bucket_join_is_broadcast(spark):
+    """The <=256-row bucket table must broadcast onto the compacted
+    per-(doc,bucket) counts — a shuffle join here would re-exchange the
+    whole feature stream at 100 TB — and the top-k is TakeOrdered, not a
+    global sort. Both feature passes read the persisted compact frame
+    (InMemoryTableScan), so the token stream is hashed exactly once."""
+    plan = plan_of(Q.queries()["dsir_select"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+
+
+def test_domain_frequency_cap_single_exchange(spark):
+    """host_cnt and the md5 rank come from the SAME window partitioning:
+    exactly one hash exchange (keyed by host), no groupBy-count +
+    join-back double scan."""
+    plan = plan_of(Q.queries()["domain_frequency_cap"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_dup_span_stats_no_joinback_rescan(spark):
+    """Gram document-frequency is the dense_rank/max window pair, not a
+    groupBy + join-back: the corpus tokenizes once into the persisted
+    marked frame (both downstream reads are InMemoryTableScans) and the
+    only joins left are the per-doc totals x runs merge (broadcastable
+    at any scale: one row per doc)."""
+    plan = plan_of(Q.queries()["dup_span_stats"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "InMemoryTableScan" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_mixture_token_budget_single_exchange(spark):
+    """The greedy budget fill is one cumulative window per source
+    partition: a single hash exchange, no global sort, no SinglePartition
+    stage (the cut is per-source, never corpus-wide)."""
+    plan = plan_of(Q.queries()["mixture_token_budget"](spark, SF))
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
