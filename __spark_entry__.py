@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2 + the
-    training-data pipeline layer (78 in round 5). Each callable takes
+    training-data pipeline layer (79 in round 5). Each callable takes
     (spark, sf_dir) and returns a DataFrame; computed columns are aliased
     to match the oracle.
 
@@ -40,7 +40,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is SELF-MAINTAINING: names sort by last-driver-verified round read
     from the CORRECTNESS_r*.json artifacts (never-verified/new first),
     with this round's operator-code refactors forced to the head
-    (queries.py::_REVERIFY); scripts/selfcheck.py checks all 78 with no
+    (queries.py::_REVERIFY); scripts/selfcheck.py checks all 79 with no
     cap."""
     base = Q.queries()
 

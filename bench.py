@@ -95,6 +95,7 @@ HEADLINE = [
     "dsir_select",
     "domain_frequency_cap",
     "dup_span_stats",
+    "dup_span_remove",
     "mixture_token_budget",
 ]
 

@@ -474,3 +474,13 @@ def test_mixture_token_budget_single_exchange(spark):
     assert plan.count("Arguments: hashpartitioning") == 1, plan
     assert "SinglePartition" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dup_span_remove_no_rescan_no_smj(spark):
+    """Duplication and ownership both come from windows over the one gram
+    exchange (no groupBy + join-back); the cover join is an equi-join on
+    (doc_id, tp) — no cartesian, no sort-merge join forced by a
+    mis-shaped key, no single-partition stage."""
+    plan = plan_of(Q.queries()["dup_span_remove"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -841,3 +841,35 @@ def test_mixture_token_budget_greedy_fill(spark):
             assert r.cum_tokens - r.n_tokens < budget
             run += r.n_tokens
             assert r.cum_tokens == run
+
+
+def test_dup_span_remove_keeps_canonical_copy(spark, tmp_path):
+    """The owner (smallest doc_id containing a duplicated gram) keeps its
+    text untouched; every other doc loses exactly the covered positions;
+    sub-gram-width docs pass through whole."""
+    from web_scraper_v1_spark import queries as Q
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 words
+    sf = _write_documents(
+        spark,
+        tmp_path,
+        [
+            (1, shared + " unique tail one alpha beta gamma", "en"),
+            (2, "prefix words here two " + shared, "en"),
+            (3, "totally unrelated text with its own private words only",
+             "en"),
+            (4, "tiny doc here", "en"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_kept, r.clean_text)
+        for r in Q.queries()["dup_span_remove"](spark, sf).collect()
+    }
+    # doc 1 owns every shared gram -> untouched
+    assert got[1][1] == got[1][0] == 15
+    assert got[1][2] == shared + " unique tail one alpha beta gamma"
+    # doc 2: the 9 positions covered by the shared sentence are removed
+    assert got[2] == (13, 4, "prefix words here two")
+    # unrelated and sub-width docs pass through whole
+    assert got[3][1] == got[3][0]
+    assert got[4] == (3, 3, "tiny doc here")

@@ -4012,6 +4012,130 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dup_span_remove",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(w[i+1:i+5], ' ') AS s
+      FROM tok, UNNEST(range(0, len(w) - 4)) AS t(i)
+      WHERE len(w) >= 5
+    ), df AS (
+      SELECT s, count(DISTINCT doc_id) AS ndocs,
+             min(doc_id) AS owner
+      FROM grams GROUP BY s
+    ), cover AS (
+      SELECT DISTINCT g.doc_id, g.pos + o AS tp
+      FROM grams g JOIN df USING (s), UNNEST(range(0, 5)) AS t(o)
+      WHERE df.ndocs > 1 AND g.doc_id > df.owner
+    ), toks AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS tp, w[i+1] AS tok
+      FROM tok, UNNEST(range(0, len(w))) AS t(i)
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN c.tp IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN c.tp IS NULL THEN t.tok END,
+                               ' ' ORDER BY t.tp), '') AS clean_text
+    FROM toks t LEFT JOIN cover c
+      ON t.doc_id = c.doc_id AND t.tp = c.tp
+    GROUP BY t.doc_id
+    """,
+)
+def q_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022):
+    every token position covered by a word 5-gram that also occurs in
+    another document is cut from the text — except in the gram's
+    canonical owner (the smallest doc_id containing it), so exactly one
+    copy of every duplicated span survives corpus-wide. Where
+    ``dup_span_stats`` measures, this emits the cleaned corpus: per doc,
+    the surviving token count and the reconstructed clean_text (tokens
+    re-joined in position order; docs shorter than the gram width pass
+    through untouched). Plan at 100 TB: the gram stream is exploded once
+    — duplication AND ownership both come from windows over the same
+    gram partitioning (max(dense_rank) for the distinct-doc count,
+    min(doc_id) for the owner; one exchange); covered positions explode
+    only from REMOVABLE grams (rare after exact dedup), and the final
+    anti-ish join runs co-partitioned on (doc_id, tp). Text rebuild is
+    array_sort over (pos, token) structs — no ordered string_agg needed
+    JVM-side, no driver loop, no UDF."""
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", TX.tokens(F.col("text")).alias("w")
+    )
+    grams = (
+        toked.filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 5),"
+                    " i -> array_join(slice(w, i + 1, 5), ' '))"
+                )
+            ).alias("pos", "s"),
+        )
+        .select("doc_id", F.col("pos").cast("long").alias("pos"), "s")
+    )
+    wg = Window.partitionBy("s")
+    cover = (
+        grams.select(
+            "doc_id",
+            "pos",
+            (
+                F.max(F.dense_rank().over(wg.orderBy("doc_id"))).over(wg)
+                > 1
+            ).alias("dup"),
+            F.min("doc_id").over(wg).alias("owner"),
+        )
+        .filter(F.col("dup") & (F.col("doc_id") > F.col("owner")))
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + 4)
+            ).alias("tp"),
+        )
+        .distinct()
+    )
+    toks = toked.select(
+        "doc_id",
+        F.posexplode("w").alias("tp", "tok"),
+    ).select("doc_id", F.col("tp").cast("long").alias("tp"), "tok")
+    kept_struct = F.when(
+        F.col("tp_rm").isNull(), F.struct("tp", "tok")
+    )
+    cov = cover.select(
+        F.col("doc_id").alias("doc_rm"), F.col("tp").alias("tp_rm")
+    )
+    return (
+        toks.join(
+            cov,
+            (F.col("doc_id") == F.col("doc_rm"))
+            & (F.col("tp") == F.col("tp_rm")),
+            "left",
+        )
+        .select("doc_id", "tp", "tok", "tp_rm")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("tp_rm").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
+@_q(
     "mixture_token_budget",
     """
     WITH d AS (
