@@ -54,6 +54,8 @@ HEADLINE = [
     "quality_score",
     "lang_id",
     "quality_filter",
+    "gopher_quality_filter",
+    "quality_classifier",
     "stratified_sample",
     "quality_percentiles",
     "repetition_stats",
@@ -75,6 +77,7 @@ HEADLINE = [
     "ann_ivf",
     "embedding_neardup",
     "embedding_neardup_t09",
+    "semdedup",
     "multimodal_features",
     "multimodal_real_decode",
     "winnow_fingerprint",

@@ -484,3 +484,36 @@ def test_dup_span_remove_no_rescan_no_smj(spark):
     plan = plan_of(Q.queries()["dup_span_remove"](spark, SF))
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_gopher_filter_single_stage_no_shuffle(spark):
+    """Every Gopher statistic folds over the in-row token array: the whole
+    filter is one codegen'd map over the scan — no exchange, no explode
+    blow-up, no Python."""
+    plan = plan_of(Q.queries()["gopher_quality_filter"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "codegen id" in plan, plan
+
+
+def test_quality_classifier_broadcast_model(spark):
+    """Linear-model inference ships the 256-row weight table to the data:
+    the weight join must be broadcast-hash (a shuffle join would
+    re-exchange the whole compacted feature stream at 100 TB) and both
+    aggregations map-side partial."""
+    plan = plan_of(Q.queries()["quality_classifier"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_semdedup_broadcast_reps_no_pairs(spark):
+    """SemDeDup's scale contract: the representative table (<= 2^n_bits
+    rows by construction) broadcasts onto the corpus — one scan, a
+    broadcast-hash join, and NO pairwise structure anywhere (no
+    CartesianProduct, no corpus-side SortMergeJoin)."""
+    plan = plan_of(Q.queries()["semdedup"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

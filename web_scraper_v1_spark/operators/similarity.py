@@ -698,3 +698,86 @@ def ivf_probe_topk(
         F.col("id") != F.col("query_id")
     )
     return _exact_rerank(candidates, k)
+
+
+def semdedup_bucket_expr(
+    dim: int = 64, n_bits: int = 8, idx: str = "element_at(e, {})"
+) -> str:
+    """Deterministic engine-portable cluster surrogate for SemDeDup: bit i
+    of the bucket id is (e[i] > e[i + dim/2]) — a fixed coordinate-
+    contrast hyperplane. The CASE WHEN arithmetic is shared between
+    engines but the 1-based array access is NOT textual: Spark's ``e[i]``
+    brackets are ZERO-based while DuckDB's are one-based, so the caller
+    picks the accessor — ``element_at(e, {})`` (Spark, default) or
+    ``e[{}]`` (DuckDB oracle). Production would cluster with
+    ``ivf_centroids_kmeans(exact_int=True)`` instead; the surrogate keeps
+    the whole algorithm SQL-oracle-checkable, like the ``ivf_centroids``
+    sampling quantizer."""
+    half = dim // 2
+    return " + ".join(
+        "(CASE WHEN {a} > {b} THEN {v} ELSE 0 END)".format(
+            a=idx.format(i), b=idx.format(i + half), v=1 << (i - 1)
+        )
+        for i in range(1, n_bits + 1)
+    )
+
+
+def semdedup_keep(
+    embs: DataFrame,
+    dim: int = 64,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): cluster the embedding space,
+    then inside each cluster drop every member whose cosine to the
+    cluster REPRESENTATIVE (smallest id) reaches the threshold — linear
+    in corpus size, unlike pairwise near-dup. Per member: (vec_id,
+    bucket, rep_id, cosine-to-rep rounded to 4, keep).
+
+    Shape at 100 TB: bucketing is a narrow projection (no shuffle); the
+    representative table is at most 2^n_bits rows (256 here) of
+    64-double vectors — broadcast by construction however large the
+    corpus — so the scoring pass is one broadcast-hash join + a per-row
+    JVM cosine fold: a single scan, no pairwise blow-up, no
+    CartesianProduct (asserted in tests/test_plans.py). The known recall
+    trade (a near-dup pair split across two clusters is missed) is the
+    published algorithm's own property, not an approximation added here.
+    """
+    v = embs.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("e"),
+    )
+    bk = v.withColumn(
+        "bucket", F.expr(semdedup_bucket_expr(dim, n_bits)).cast("long")
+    )
+    reps = bk.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
+    rep_vec = bk.join(
+        F.broadcast(reps), bk["vec_id"] == reps["rep_id"]
+    ).select("rep_id", F.col("e").alias("re"))
+    scored = bk.join(
+        F.broadcast(
+            reps.join(F.broadcast(rep_vec), "rep_id").select(
+                "bucket", "rep_id", "re"
+            )
+        ),
+        "bucket",
+    ).withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("e"), F.col("re"))
+            / (_norm(F.col("e")) * _norm(F.col("re"))),
+            4,
+        ),
+    )
+    return scored.select(
+        "vec_id",
+        "bucket",
+        "rep_id",
+        "cosine",
+        (
+            (F.col("vec_id") == F.col("rep_id"))
+            | (F.col("cosine") < F.lit(threshold))
+        ).alias("keep"),
+    )

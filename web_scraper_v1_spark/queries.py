@@ -4201,6 +4201,233 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "gopher_quality_filter",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0)
+             AS BIGINT) AS n_chars,
+        CAST(len(list_filter(list_distinct(w),
+                             t -> list_contains({_STOP_SQL}, t)))
+             AS BIGINT) AS n_stop_distinct,
+        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+             AS BIGINT) AS n_alpha
+      FROM tok
+    ), decided AS (
+      SELECT doc_id, n_tokens,
+        round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4)
+          AS mean_word_len,
+        CASE WHEN n_tokens < 10 OR n_tokens > 100000 THEN 'word_count'
+             WHEN n_chars < 3 * n_tokens OR n_chars > 10 * n_tokens
+               THEN 'mean_word_length'
+             WHEN n_alpha * 10 < n_tokens * 8 THEN 'alpha_ratio'
+             WHEN n_stop_distinct < 2 THEN 'stopword_count'
+             WHEN n_distinct * 5 < n_tokens THEN 'repetition'
+        END AS reject_reason
+      FROM m
+    )
+    SELECT doc_id, n_tokens, mean_word_len, reject_reason,
+           reject_reason IS NULL AS keep
+    FROM decided
+    """,
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules document filter (Rae et al. 2021, public — the rule
+    battery MassiveWeb/RefinedWeb curation runs BEFORE any model-based
+    scoring): word-count bounds, mean-word-length bounds, minimum
+    alphabetic-token fraction, minimum distinct-stopword count, and a
+    unique-token-fraction repetition floor, folded into a keep/drop with
+    a first-failing-rule audit column (the ``quality_filter``
+    discipline). Every threshold comparison is INTEGER cross-
+    multiplication (``n_alpha * 10 < n_tokens * 8`` for the 0.8 alpha
+    fraction, never a rounded double), so the decision is bit-exact in
+    both engines; the only double emitted is the reported
+    ``mean_word_len`` (single division + round, identical op order).
+    Shape at 100 TB: one codegen'd map over the scan — every statistic
+    folds over the in-row token array, no explode, no shuffle, no
+    Python (plan-asserted single-stage in tests/test_plans.py)."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.select(
+        "doc_id",
+        TX.tokens(F.col("text")).alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.expr("aggregate(w, 0L, (a, x) -> a + length(x))").alias(
+            "n_chars"
+        ),
+        F.size(
+            F.filter(
+                F.array_distinct("w"),
+                lambda t: t.isin(*TX.STOPWORDS_EN),
+            )
+        )
+        .cast("long")
+        .alias("n_stop_distinct"),
+        F.size(F.array_distinct("w")).cast("long").alias("n_distinct"),
+        F.size(F.expr("filter(w, t -> t rlike '[a-z]')"))
+        .cast("long")
+        .alias("n_alpha"),
+    )
+    reason = (
+        F.when(
+            (F.col("n_tokens") < 10) | (F.col("n_tokens") > 100000),
+            F.lit("word_count"),
+        )
+        .when(
+            (F.col("n_chars") < 3 * F.col("n_tokens"))
+            | (F.col("n_chars") > 10 * F.col("n_tokens")),
+            F.lit("mean_word_length"),
+        )
+        .when(
+            F.col("n_alpha") * 10 < F.col("n_tokens") * 8,
+            F.lit("alpha_ratio"),
+        )
+        .when(F.col("n_stop_distinct") < 2, F.lit("stopword_count"))
+        .when(
+            F.col("n_distinct") * 5 < F.col("n_tokens"),
+            F.lit("repetition"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.col("n_tokens").cast("double"),
+            4,
+        ).alias("mean_word_len"),
+        reason.alias("reject_reason"),
+    ).withColumn("keep", F.col("reject_reason").isNull())
+
+
+@_q(
+    "quality_classifier",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, unnest(w) AS s FROM tok
+    ), b AS (
+      SELECT doc_id, {_MD5_BUCKET_DUCK} AS b FROM occ
+    ), wt AS (
+      SELECT CAST(r AS BIGINT) AS b, CAST(r % 7 AS BIGINT) - 3 AS wgt
+      FROM range(256) t(r)
+    )
+    SELECT doc_id, CAST(sum(wgt) AS BIGINT) AS score,
+           sum(wgt) > 0 AS keep
+    FROM b JOIN wt USING (b)
+    GROUP BY doc_id
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the fastText-linear-classifier shape
+    (Joulin et al. 2016; the FineWeb-Edu / DCLM curation stage): every
+    token hashes into a fixed feature bucket (md5 head, 256 buckets —
+    the ``dsir_select`` arithmetic), each bucket carries a LEARNED
+    WEIGHT, and a document's score is the sum of its occurrences'
+    weights with a sign threshold deciding keep/drop. The weight table
+    here is derived deterministically from the bucket id (``b%7 - 3``)
+    so the oracle replays it; a real run would load trained weights —
+    same plan. Shape at 100 TB: the token stream COMPACTS to per-(doc,
+    bucket) counts in one scan (<=256 rows per doc regardless of
+    length, map-side partial agg), the weight table is 256 rows —
+    broadcast by construction for any vocabulary hashing scheme — so
+    inference is one broadcast-hash join + a per-doc partial sum. This
+    is how linear-model inference distributes: the model ships to the
+    data, integer-exact end to end."""
+    d = _t(spark, sf_dir, "documents")
+    occ = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode("w").alias("s"))
+        .select("doc_id", F.expr(_MD5_BUCKET_SPARK).alias("b"))
+    )
+    compact = occ.groupBy("doc_id", "b").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wt = spark.range(256).select(
+        F.col("id").alias("b"),
+        (F.col("id") % 7 - 3).cast("long").alias("wgt"),
+    )
+    return (
+        compact.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("n * wgt")).cast("long").alias("score"))
+        .withColumn("keep", F.col("score") > 0)
+    )
+
+
+@_q(
+    "semdedup",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), twins AS (
+      SELECT vec_id + 1000000 AS vec_id,
+             [e[i] + 0.05 * e[(i % 64) + 1] FOR i IN range(1, 65)] AS e
+      FROM base WHERE vec_id < 25
+    ), v AS (
+      SELECT * FROM base UNION ALL SELECT * FROM twins
+    ), bk AS (
+      SELECT vec_id, e,
+             CAST({SIM.semdedup_bucket_expr(64, 8, idx="e[{}]")}
+                  AS BIGINT) AS bucket
+      FROM v
+    ), reps AS (
+      SELECT bucket, min(vec_id) AS rep_id FROM bk GROUP BY bucket
+    ), repv AS (
+      SELECT r.bucket, r.rep_id, b.e AS re
+      FROM reps r JOIN bk b ON b.vec_id = r.rep_id
+    )
+    SELECT m.vec_id, m.bucket, r.rep_id,
+           round(list_dot_product(m.e, r.re)
+                 / (sqrt(list_dot_product(m.e, m.e))
+                    * sqrt(list_dot_product(r.re, r.re))), 4) AS cosine,
+           (m.vec_id = r.rep_id
+            OR round(list_dot_product(m.e, r.re)
+                     / (sqrt(list_dot_product(m.e, m.e))
+                        * sqrt(list_dot_product(r.re, r.re))), 4) < 0.9)
+             AS keep
+    FROM bk m JOIN repv r USING (bucket)
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup by clustering
+    — drop any embedding whose cosine to its CLUSTER REPRESENTATIVE
+    reaches 0.9, keeping one exemplar per semantic neighborhood. Linear
+    in corpus size where pairwise near-dup is quadratic-at-worst: the
+    canonical web-scale move when 'roughly one copy per meaning' is
+    enough (operators/similarity.semdedup_keep; cluster surrogate
+    documented there — production clusters with
+    ivf_centroids_kmeans(exact_int=True)). The corpus's natural max
+    cosine is ~0.51, so the dropped set is planted deterministically in
+    both engines with the ``embedding_neardup_t09`` twin construction
+    (vec_id < 25 -> mixed copy at id+10^6, cosine ~0.9988)."""
+    base = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    twins = base.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "x + 0.05D * element_at(embedding, ((i + 1) % 64) + 1))"
+        ).alias("embedding"),
+    )
+    return SIM.semdedup_keep(
+        base.unionByName(twins), dim=64, threshold=0.9, n_bits=8
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
