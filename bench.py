@@ -80,6 +80,9 @@ HEADLINE = [
     "semdedup",
     "multimodal_features",
     "multimodal_real_decode",
+    "multimodal_resize",
+    "video_frame_sample",
+    "image_neardup_ahash",
     "winnow_fingerprint",
     "dedup_stream_batch",
     "decontaminate_hashed",

@@ -517,3 +517,25 @@ def test_semdedup_broadcast_reps_no_pairs(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_image_ahash_no_shuffle_before_hash(spark):
+    """The perceptual-dedup contract: payload binaries are hashed inside
+    the Arrow batch (mapInPandas on the scan side), so the only exchange
+    in the plan is the 8-byte ahash groupBy — the wide payload column
+    must never appear in an Exchange's schema."""
+    plan = plan_of(Q.queries()["image_neardup_ahash"](spark, SF))
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_count" in plan, plan
+    # exactly one exchange: the post-hash aggregation, keyed by ahash
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    ex_arg = plan.split("Arguments: hashpartitioning(")[1].split("\n")[0]
+    assert "ahash" in ex_arg and "payload" not in ex_arg, ex_arg
+
+
+def test_video_frame_sample_partition_preserving(spark):
+    """Frame sampling fans out INSIDE the Arrow batch: the whole query is
+    scan -> synthesize -> mapInPandas with no exchange at all."""
+    plan = plan_of(Q.queries()["video_frame_sample"](spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan

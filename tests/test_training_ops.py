@@ -873,3 +873,52 @@ def test_dup_span_remove_keeps_canonical_copy(spark, tmp_path):
     # unrelated and sub-width docs pass through whole
     assert got[3][1] == got[3][0]
     assert got[4] == (3, 3, "tiny doc here")
+
+
+def test_resize_and_frame_walk_known_values():
+    """Resize + video-walk kernels against hand-computed pixels: a 2x2 P6
+    downsampled by 2 keeps exactly pixel (0,0); the 4-frame video
+    container walks to 4 frames whose pixel k is text byte (k+7f) mod L;
+    a truncated frame fails loudly instead of mis-parsing."""
+    import numpy as np
+    import pytest as _pt
+
+    from web_scraper_v1_spark.functions.multimodal import (
+        _parse_ppm,
+        ppm_frame_from_text,
+        resize_ppm,
+        video_from_text,
+        PPM_W,
+        PPM_H,
+        VIDEO_FRAMES,
+    )
+
+    # 2x2 image, pixels (r,g,b) = (p, p+1, p+2) for p in 0,10,20,30
+    px = bytes(
+        b for p in (0, 10, 20, 30) for b in (p, p + 1, p + 2)
+    )
+    small = b"P6\n2 2\n255\n" + px
+    out = resize_ppm(small, factor=2)
+    w, h, opx, end = _parse_ppm(out)
+    assert (w, h) == (1, 1) and end == len(out)
+    assert list(opx) == [0, 1, 2]  # nearest-neighbor keeps (0,0)
+
+    # the video walk: every frame self-describing, offsets chain exactly
+    text = "the quick brown fox jumps over the lazy dog"
+    buf = video_from_text(text)
+    b = text.encode()
+    off = 0
+    for f in range(VIDEO_FRAMES):
+        w, h, fpx, off = _parse_ppm(buf, off)
+        assert (w, h) == (PPM_W, PPM_H)
+        n = PPM_W * PPM_H * 3
+        expect = [(b[(k + 7 * f) % len(b)]) for k in range(n)]
+        assert list(fpx) == expect
+    assert off == len(buf)
+    # each frame alone is also a valid standalone container
+    assert ppm_frame_from_text(text, 2) == buf[107 * 2 : 107 * 3]
+
+    # a truncated final frame raises, never silently yields a short frame
+    with _pt.raises(ValueError):
+        _parse_ppm(buf[:-1], 107 * (VIDEO_FRAMES - 1))
+    assert np is not None

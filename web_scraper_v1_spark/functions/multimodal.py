@@ -65,18 +65,18 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def _decode_ppm(payload: bytes) -> list[float]:
-    """Pure-Python PPM (P6) decoder -> FEATURE_DIM moment vector. Feature
-    math is exact-integer sums followed by ONE division each, so a SQL
-    twin replays it bit-identically (oracle-parity rule: never chain
-    transcendentals or reassociate float sums across engines):
-    [w/1e4, h/1e4, sumR/(n*255), sumG/(n*255), sumB/(n*255),
-     min/255, max/255, 0...]."""
+def _parse_ppm(
+    payload: bytes, offset: int = 0
+) -> tuple[int, int, np.ndarray, int]:
+    """Real P6 header + pixel parse starting at ``offset`` (supports
+    concatenated-frame video containers): returns (w, h, pixel bytes as a
+    flat uint8 array, offset just past this frame). Raises on anything
+    that is not a maxval-255 P6 frame."""
     # header: "P6" <ws> width <ws> height <ws> maxval <single ws> pixels
-    if not payload.startswith(b"P6"):
+    if payload[offset : offset + 2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     tokens: list[int] = []
-    i = 2
+    i = offset + 2
     while len(tokens) < 3:
         while i < len(payload) and payload[i : i + 1].isspace():
             i += 1
@@ -94,7 +94,21 @@ def _decode_ppm(payload: bytes) -> list[float]:
     if maxval != 255:
         raise ValueError(f"unsupported PPM maxval {maxval}")
     n = w * h
+    if len(payload) < i + 3 * n:
+        raise ValueError("truncated P6 pixel data")
     px = np.frombuffer(payload, dtype=np.uint8, count=3 * n, offset=i)
+    return w, h, px, i + 3 * n
+
+
+def _decode_ppm(payload: bytes) -> list[float]:
+    """Pure-Python PPM (P6) decoder -> FEATURE_DIM moment vector. Feature
+    math is exact-integer sums followed by ONE division each, so a SQL
+    twin replays it bit-identically (oracle-parity rule: never chain
+    transcendentals or reassociate float sums across engines):
+    [w/1e4, h/1e4, sumR/(n*255), sumG/(n*255), sumB/(n*255),
+     min/255, max/255, 0...]."""
+    w, h, px, _end = _parse_ppm(payload)
+    n = w * h
     sums = [int(px[c::3].sum(dtype=np.int64)) for c in range(3)]
     feat = [0.0] * FEATURE_DIM
     feat[0] = w / 10000.0
@@ -322,3 +336,217 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
             F.lit("application/octet-stream").alias("mime"),
         ).alias("meta"),
     )
+
+
+# --------------------------------------------------------------------------
+# Image resize + video frame sampling (round 5): the remaining two media
+# transforms of the training-data brief, both through the REAL container
+# path — decode, transform with actual pixel indexing, re-encode, and
+# re-parse the produced container so the round trip is what's verified.
+# --------------------------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("out_w", T.LongType(), True),
+        T.StructField("out_h", T.LongType(), True),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("px_min", T.LongType(), True),
+        T.StructField("px_max", T.LongType(), True),
+    ]
+)
+
+
+def resize_ppm(payload: bytes, factor: int = 2) -> bytes:
+    """REAL nearest-neighbor downsample of a P6 container: parse, index
+    pixels[::factor, ::factor], re-encode a valid P6 at the new
+    geometry. Output pixel (x, y, c) == input pixel (factor*x, factor*y,
+    c) — the exact arithmetic the SQL oracle replays byte-for-byte."""
+    w, h, px, _end = _parse_ppm(payload)
+    img = px.reshape(h, w, 3)
+    out = img[::factor, ::factor, :]
+    oh, ow = out.shape[0], out.shape[1]
+    return f"P6\n{ow} {oh}\n255\n".encode() + out.tobytes()
+
+
+def resize_features(media: DataFrame, factor: int = 2) -> DataFrame:
+    """mapInPandas image resize: per payload, decode -> nearest-neighbor
+    downsample -> re-encode -> RE-PARSE the produced container and emit
+    its geometry + exact-integer channel moments. Emitting stats of the
+    re-parsed output (not of the in-memory intermediate) makes the gate
+    verify the whole round trip: a malformed re-encode cannot pass.
+    Partition-preserving, Arrow-batched, null payload skips (the
+    log-and-skip consumer analog)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((mid, *([None] * 7)))
+                    continue
+                w, h, px, _ = _parse_ppm(resize_ppm(bytes(p), factor))
+                rows.append(
+                    (
+                        mid,
+                        w,
+                        h,
+                        int(px[0::3].sum(dtype=np.int64)),
+                        int(px[1::3].sum(dtype=np.int64)),
+                        int(px[2::3].sum(dtype=np.int64)),
+                        int(px.min()),
+                        int(px.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "out_w", "out_h",
+                    "sum_r", "sum_g", "sum_b", "px_min", "px_max",
+                ],
+            )
+
+    return media.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+VIDEO_FRAMES = 4
+_FRAME_SHIFT = 7  # frame f's pixel k = text byte (k + 7*f) % len(text)
+
+
+def ppm_frame_from_text(text: str, frame: int) -> bytes:
+    """Frame ``frame`` of the synthetic video: a valid P6 whose pixel k is
+    the document's byte ((k + 7*frame) mod len) — each frame a small
+    deterministic shift of the last, like consecutive video frames."""
+    b = text.encode("utf-8")
+    n = PPM_W * PPM_H * 3
+    idx = (np.arange(n) + _FRAME_SHIFT * frame) % len(b)
+    head = f"P6\n{PPM_W} {PPM_H}\n255\n".encode()
+    return head + np.frombuffer(b, dtype=np.uint8)[idx].tobytes()
+
+
+def video_from_text(text: str) -> bytes:
+    """A 'video' container: VIDEO_FRAMES concatenated P6 frames. No
+    public dependency-free video codec exists, so the container is the
+    simplest thing a real frame parser can walk — sequential P6 frames,
+    each self-describing via its own header (the MJPEG idea)."""
+    return b"".join(
+        ppm_frame_from_text(text, f) for f in range(VIDEO_FRAMES)
+    )
+
+
+def synthesize_video_from_documents(docs: DataFrame) -> DataFrame:
+    """Every document becomes a VIDEO_FRAMES-frame video payload (valid
+    concatenated P6 frames derived from the text), typed like the other
+    media fixtures."""
+
+    @F.pandas_udf(T.BinaryType())
+    def _payload(text: pd.Series) -> pd.Series:
+        return pd.Series([video_from_text(t) for t in text])
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        _payload(F.col("text")).alias("payload"),
+        F.struct(
+            F.lit(PPM_W).cast("int").alias("width"),
+            F.lit(PPM_H).cast("int").alias("height"),
+            F.lit(0).cast("int").alias("sample_rate"),
+            F.lit(VIDEO_FRAMES).cast("int").alias("n_frames"),
+            F.lit("video/x-ppm-frames").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), False),
+        T.StructField("sum_r", T.LongType(), True),
+        T.StructField("sum_g", T.LongType(), True),
+        T.StructField("sum_b", T.LongType(), True),
+        T.StructField("px_min", T.LongType(), True),
+        T.StructField("px_max", T.LongType(), True),
+    ]
+)
+
+
+def sample_video_frames(media: DataFrame, stride: int = 2) -> DataFrame:
+    """mapInPandas video frame sampling: REALLY walks the concatenated-P6
+    container frame by frame (every frame is parsed to find the next
+    offset — the walk fails loudly on a malformed frame), keeps every
+    ``stride``-th frame, and emits per-kept-frame exact-integer channel
+    moments. One input row fans out to ceil(n_frames/stride) output rows
+    inside the Arrow batch — the explode happens Python-side so the
+    payload binary never enters a Spark shuffle."""
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue
+                buf, off, f = bytes(p), 0, 0
+                while off < len(buf):
+                    w, h, px, off = _parse_ppm(buf, off)
+                    if f % stride == 0:
+                        rows.append(
+                            (
+                                mid,
+                                f,
+                                int(px[0::3].sum(dtype=np.int64)),
+                                int(px[1::3].sum(dtype=np.int64)),
+                                int(px[2::3].sum(dtype=np.int64)),
+                                int(px.min()),
+                                int(px.max()),
+                            )
+                        )
+                    f += 1
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx",
+                    "sum_r", "sum_g", "sum_b", "px_min", "px_max",
+                ],
+            )
+
+    return media.mapInPandas(_sample, FRAME_SAMPLE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def ahash_features(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Average-hash (aHash) perceptual image fingerprint over the REAL
+    resize path: decode -> nearest-neighbor downsample -> re-encode ->
+    re-parse (the ``resize_features`` round trip), then per resized
+    pixel a grayscale channel sum and bit i = (pixel i brighter than
+    the image mean), compared by integer cross-multiplication
+    (``n_pixels * gray[i] > total``) so the hash is exactly replayable
+    with no float division. Emits (media_id, ahash int64); collision
+    grouping happens Spark-side on the 8-byte key."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    rows.append((mid, None))
+                    continue
+                w, h, px, _ = _parse_ppm(resize_ppm(bytes(p), factor))
+                gray = px.reshape(-1, 3).sum(axis=1, dtype=np.int64)
+                total = int(gray.sum())
+                bits = 0
+                for i, gv in enumerate(gray):
+                    if len(gray) * int(gv) > total:
+                        bits |= 1 << i
+                rows.append((mid, bits))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.mapInPandas(_hash, AHASH_SCHEMA)

@@ -4202,6 +4202,157 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "multimodal_resize",
+    """
+    WITH p AS (
+      SELECT doc_id, text AS s, strlen(text) AS L
+      FROM documents WHERE doc_id % 2 = 0
+    ), r AS (
+      SELECT doc_id,
+             [ascii(s[(((48*(i//12) + 6*((i//3)%4) + (i%3))) % L) + 1])
+              for i in range(0, 24)] AS px
+      FROM p
+    )
+    SELECT doc_id AS media_id,
+           CAST(4 AS BIGINT) AS out_w, CAST(2 AS BIGINT) AS out_h,
+           CAST(list_sum([px[3*i + 1] for i in range(0, 8)])
+                AS BIGINT) AS sum_r,
+           CAST(list_sum([px[3*i + 2] for i in range(0, 8)])
+                AS BIGINT) AS sum_g,
+           CAST(list_sum([px[3*i + 3] for i in range(0, 8)])
+                AS BIGINT) AS sum_b,
+           CAST(list_min(px) AS BIGINT) AS px_min,
+           CAST(list_max(px) AS BIGINT) AS px_max
+    FROM r
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize through the container round trip: the P6 fixture
+    decodes (functions/multimodal._parse_ppm), nearest-neighbor
+    downsamples 8x4 -> 4x2 with actual pixel indexing
+    (pixels[::2, ::2, :]), re-encodes a VALID P6 at the new geometry,
+    and the emitted stats come from RE-PARSING that output container —
+    a malformed re-encode cannot pass the gate. The oracle replays the
+    arithmetic byte-for-byte: resized pixel (x,y,c) is the cycled text
+    byte at (48y + 6x + c) mod len. Arrow-batched mapInPandas, payload
+    bytes never enter a shuffle (the multimodal_features discipline)."""
+    from web_scraper_v1_spark.functions.multimodal import (
+        resize_features,
+        synthesize_real_media_from_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    media = synthesize_real_media_from_documents(d)
+    return resize_features(media, factor=2)
+
+
+@_q(
+    "video_frame_sample",
+    """
+    WITH p AS (
+      SELECT doc_id, text AS s, strlen(text) AS L FROM documents
+    ), fr AS (
+      SELECT doc_id, s, L, f FROM p, UNNEST([0, 2]) AS t(f)
+    ), px AS (
+      SELECT doc_id, f,
+             [ascii(s[(((i + 7*f) % L) + 1)]) for i in range(0, 96)]
+               AS px
+      FROM fr
+    )
+    SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST(list_sum([px[3*i + 1] for i in range(0, 32)])
+                AS BIGINT) AS sum_r,
+           CAST(list_sum([px[3*i + 2] for i in range(0, 32)])
+                AS BIGINT) AS sum_g,
+           CAST(list_sum([px[3*i + 3] for i in range(0, 32)])
+                AS BIGINT) AS sum_b,
+           CAST(list_min(px) AS BIGINT) AS px_min,
+           CAST(list_max(px) AS BIGINT) AS px_max
+    FROM px
+    """,
+)
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through a REAL container walk: each document
+    becomes a 4-frame video (concatenated self-describing P6 frames —
+    the MJPEG idea, the only video container walkable without ffmpeg);
+    the sampler parses frame headers SEQUENTIALLY to find each next
+    offset (a malformed frame fails loudly), keeps every 2nd frame, and
+    emits exact-integer channel moments per kept frame. The Python-side
+    fan-out (1 row -> 2 frames) happens inside the Arrow batch so the
+    payload binary never enters a Spark shuffle. Oracle: frame f's pixel
+    k is the text byte (k + 7f) mod len — full byte-arithmetic replay."""
+    from web_scraper_v1_spark.functions.multimodal import (
+        sample_video_frames,
+        synthesize_video_from_documents,
+    )
+
+    media = synthesize_video_from_documents(_t(spark, sf_dir, "documents"))
+    return sample_video_frames(media, stride=2)
+
+
+@_q(
+    "image_neardup_ahash",
+    """
+    WITH p AS (
+      SELECT doc_id, text AS s, strlen(text) AS L
+      FROM documents WHERE doc_id % 2 = 0
+    ), px AS (
+      SELECT doc_id,
+             [ascii(s[(((48*(i//12) + 6*((i//3)%4) + (i%3))) % L) + 1])
+              for i in range(0, 24)] AS px
+      FROM p
+    ), g AS (
+      SELECT doc_id,
+             [px[3*i + 1] + px[3*i + 2] + px[3*i + 3]
+              for i in range(0, 8)] AS gray,
+             list_sum(px) AS total
+      FROM px
+    ), h AS (
+      SELECT doc_id,
+             CAST(list_sum([CASE WHEN 8 * gray[i + 1] > total
+                            THEN 1 << i ELSE 0 END
+                            for i in range(0, 8)]) AS BIGINT) AS ahash
+      FROM g
+    )
+    SELECT ahash,
+           CAST(count(*) AS BIGINT) AS n_images,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id
+    FROM h
+    GROUP BY ahash HAVING count(*) > 1
+    """,
+)
+def q_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup by AVERAGE HASH (the classic pre-pHash
+    signal): decode the real P6 container, nearest-neighbor downsample
+    (the ``multimodal_resize`` kernel), collapse each resized pixel to a
+    grayscale sum, and set bit i iff pixel i is brighter than the image
+    mean — integer cross-multiplied (``8*gray > total``) so no division
+    ever happens. Images sharing an ahash are near-dup candidates;
+    output is the collision groups with their canonical (min doc_id)
+    representative. Shape at 100 TB: hashing is one mapInPandas pass
+    over the payload column (no shuffle until the 8-byte hash), then a
+    map-side-combinable count on the hash key — the image twin of
+    ``fingerprint_md5``-based text dedup, with the same exact-verify
+    escalation path as MinHash if bit-level tolerance is needed."""
+    from web_scraper_v1_spark.functions.multimodal import (
+        ahash_features,
+        synthesize_real_media_from_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    media = synthesize_real_media_from_documents(d)
+    return (
+        ahash_features(media, factor=2)
+        .groupBy("ahash")
+        .agg(
+            F.count("*").cast("long").alias("n_images"),
+            F.min("media_id").cast("long").alias("canonical_id"),
+        )
+        .filter(F.col("n_images") > 1)
+    )
+
+
+@_q(
     "gopher_quality_filter",
     f"""
     WITH tok AS (
