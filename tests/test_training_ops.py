@@ -880,7 +880,6 @@ def test_resize_and_frame_walk_known_values():
     downsampled by 2 keeps exactly pixel (0,0); the 4-frame video
     container walks to 4 frames whose pixel k is text byte (k+7f) mod L;
     a truncated frame fails loudly instead of mis-parsing."""
-    import numpy as np
     import pytest as _pt
 
     from web_scraper_v1_spark.functions.multimodal import (
@@ -921,4 +920,3 @@ def test_resize_and_frame_walk_known_values():
     # a truncated final frame raises, never silently yields a short frame
     with _pt.raises(ValueError):
         _parse_ppm(buf[:-1], 107 * (VIDEO_FRAMES - 1))
-    assert np is not None

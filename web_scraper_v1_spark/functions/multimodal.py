@@ -543,9 +543,13 @@ def ahash_features(media: DataFrame, factor: int = 2) -> DataFrame:
                 gray = px.reshape(-1, 3).sum(axis=1, dtype=np.int64)
                 total = int(gray.sum())
                 bits = 0
-                for i, gv in enumerate(gray):
+                for i, gv in enumerate(gray[:64]):
                     if len(gray) * int(gv) > total:
                         bits |= 1 << i
+                # int64 column: the classic 8x8 geometry sets bit 63, so
+                # store the SIGNED reinterpretation of the 64-bit hash
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
                 rows.append((mid, bits))
             yield pd.DataFrame(rows, columns=["media_id", "ahash"])
 

@@ -752,18 +752,17 @@ def semdedup_keep(
     bk = v.withColumn(
         "bucket", F.expr(semdedup_bucket_expr(dim, n_bits)).cast("long")
     )
-    reps = bk.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
-    rep_vec = bk.join(
-        F.broadcast(reps), bk["vec_id"] == reps["rep_id"]
-    ).select("rep_id", F.col("e").alias("re"))
-    scored = bk.join(
-        F.broadcast(
-            reps.join(F.broadcast(rep_vec), "rep_id").select(
-                "bucket", "rep_id", "re"
-            )
-        ),
+    # representative id AND its vector from ONE aggregation: min over
+    # (vec_id, e) structs orders by vec_id (unique), so no second
+    # corpus-wide join is needed to fetch the rep's embedding
+    reps = bk.groupBy("bucket").agg(
+        F.min(F.struct("vec_id", "e")).alias("r")
+    ).select(
         "bucket",
-    ).withColumn(
+        F.col("r.vec_id").alias("rep_id"),
+        F.col("r.e").alias("re"),
+    )
+    scored = bk.join(F.broadcast(reps), "bucket").withColumn(
         "cosine",
         F.round(
             _dot(F.col("e"), F.col("re"))

@@ -4608,6 +4608,9 @@ _REVERIFY: set[str] = {
     "seen_anti_join_urls",
     # round 5: CrawlEngine._wave_join stranded-frame release
     "crawl_slice",
+    # round 5: _parse_ppm/_decode_ppm refactor for the media transforms
+    # changes the real-codec decode path this query exercises
+    "multimodal_real_decode",
     # round 5: shingle-cache LRU touch — every query sharing the cache
     "minhash_lsh_dedup",
     "simhash_dedup",
