@@ -29,6 +29,7 @@ HEADLINE = [
     "seen_anti_join_urls",
     "seen_anti_join_urls_cuckoo",
     "url_canonicalize",
+    "url_blocklist_filter",
     "robots_filter",
     "link_extract",
     "frontier_growth",
@@ -72,6 +73,7 @@ HEADLINE = [
     "curation_pipeline",
     "minhash_lsh_dedup",
     "simhash_dedup",
+    "doc_embedding_pool",
     "ann_bruteforce",
     "ann_lsh",
     "ann_ivf",

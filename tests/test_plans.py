@@ -539,3 +539,24 @@ def test_video_frame_sample_partition_preserving(spark):
     plan = plan_of(Q.queries()["video_frame_sample"](spark, SF))
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_blocklist_filter_broadcasts_list_side(spark):
+    """The blocklist joins the URL stream as broadcast-hash keyed by host
+    — the 100 TB fact side must never shuffle for the cheapest cut in
+    the pipeline."""
+    plan = plan_of(Q.queries()["url_blocklist_filter"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_doc_embedding_pool_broadcast_table_partial_agg(spark):
+    """Embedding lookup ships the table to the data (broadcast-hash) and
+    pooling is map-side partial; the corpus never shuffles wider than the
+    pooled int64 columns."""
+    plan = plan_of(Q.queries()["doc_embedding_pool"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -920,3 +920,33 @@ def test_resize_and_frame_walk_known_values():
     # a truncated final frame raises, never silently yields a short frame
     with _pt.raises(ValueError):
         _parse_ppm(buf[:-1], 107 * (VIDEO_FRAMES - 1))
+
+
+def test_ahash_64_pixel_geometry_fits_int64():
+    """The classic 8x8 aHash geometry (64 resized pixels) can set bit 63;
+    the hash must store as the SIGNED 64-bit reinterpretation rather than
+    overflow the LongType column (review finding, round 5)."""
+    import numpy as np
+
+    from web_scraper_v1_spark.functions.multimodal import (
+        _parse_ppm,
+        resize_ppm,
+    )
+
+    w = h = 16
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[14, 14, :] = 255  # the LAST kept pixel after [::2, ::2]
+    payload = f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+    _, _, opx, _ = _parse_ppm(resize_ppm(payload, 2))
+    gray = opx.reshape(-1, 3).sum(axis=1, dtype=np.int64)
+    assert len(gray) == 64
+    total = int(gray.sum())
+    bits = 0
+    for i, gv in enumerate(gray[:64]):
+        if len(gray) * int(gv) > total:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    # bit 63 was set and the signed reinterpretation fits int64
+    assert bits < 0
+    assert -(1 << 63) <= bits < (1 << 63)

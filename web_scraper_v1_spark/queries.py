@@ -4202,6 +4202,129 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "url_blocklist_filter",
+    """
+    WITH urls AS (
+      SELECT doc_id, doc_id % 37 AS host FROM documents
+    ), blocklist AS (
+      SELECT CAST(h AS BIGINT) AS host,
+             CASE WHEN h % 7 = 3 THEN 'adult'
+                  WHEN h % 7 = 5 THEN 'malware' END AS category
+      FROM range(37) t(h)
+      WHERE h % 7 = 3 OR h % 7 = 5
+    )
+    SELECT u.doc_id, CAST(u.host AS BIGINT) AS host,
+           b.category, b.category IS NULL AS keep
+    FROM urls u LEFT JOIN blocklist b USING (host)
+    """,
+)
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-blocklist URL filtering — the UT1-blocklist stage of
+    RefinedWeb/FineWeb curation (hosts on a curated list of banned
+    categories are dropped before any content-based filtering, the
+    cheapest cut in the pipeline). The blocklist here is a deterministic
+    37-row derived table so the oracle replays it; a real run loads the
+    published UT1 lists (~4M hosts, a few hundred MB — still broadcast
+    territory). Shape at 100 TB: blocklist LEFT-joins onto the URL
+    stream as a broadcast-hash join keyed by host (the fact side never
+    shuffles — plan-asserted), with the audit column (matched category)
+    kept rather than silently dropping rows, the ``quality_filter``
+    keep/reason discipline."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        "doc_id", (F.col("doc_id") % 37).cast("long").alias("host")
+    )
+    blocklist = (
+        spark.range(37)
+        .select(
+            F.col("id").cast("long").alias("host"),
+            F.when(F.col("id") % 7 == 3, F.lit("adult"))
+            .when(F.col("id") % 7 == 5, F.lit("malware"))
+            .alias("category"),
+        )
+        .filter(F.col("category").isNotNull())
+    )
+    return urls.join(F.broadcast(blocklist), "host", "left").select(
+        "doc_id",
+        "host",
+        "category",
+        F.col("category").isNull().alias("keep"),
+    )
+
+
+@_q(
+    "doc_embedding_pool",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, unnest(w) AS s FROM tok
+    ), b AS (
+      SELECT doc_id, {_MD5_BUCKET_DUCK} AS b FROM occ
+    ), emb AS (
+      SELECT CAST(r AS BIGINT) AS b,
+             [CAST((r * 31 + j * 17) % 201 AS BIGINT) - 100
+              for j in range(0, 8)] AS v
+      FROM range(256) t(r)
+    ), pooled AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             {", ".join(
+                 f"CAST(sum(v[{j + 1}]) AS BIGINT) AS e{j}"
+                 for j in range(8)
+             )}
+      FROM b JOIN emb USING (b) GROUP BY doc_id
+    )
+    SELECT * FROM pooled
+    """,
+)
+def q_doc_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-GENERATION stage that feeds the ANN/semdedup layer:
+    hashed-token embedding lookup + sum-pooling per document (the
+    fastText sentence-vector construction — token hashes into a fixed
+    vocabulary bucket, each bucket carries a trained dense vector, the
+    document embedding pools them). The 256 x 8 embedding table derives
+    arithmetically from the bucket id so the oracle replays it exactly
+    (integer components; SUM pooling instead of mean keeps the repo-wide
+    no-double-sums rule — mean is sum/n_tokens downstream whenever a
+    consumer wants it). Shape at 100 TB: tokens compact to
+    per-(doc, bucket) counts in one scan, the embedding table broadcasts
+    (a real 10^5 x 300-float table is ~120 MB — still broadcast range),
+    pooling is one map-side-partial aggregation; the corpus never
+    shuffles wider than 8 int64 columns."""
+    d = _t(spark, sf_dir, "documents")
+    occ = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("w"))
+        .select("doc_id", F.explode("w").alias("s"))
+        .select("doc_id", F.expr(_MD5_BUCKET_SPARK).alias("b"))
+    )
+    compact = occ.groupBy("doc_id", "b").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    emb = spark.range(256).select(
+        F.col("id").cast("long").alias("b"),
+        *[
+            ((F.col("id") * 31 + j * 17) % 201 - 100)
+            .cast("long")
+            .alias(f"c{j}")
+            for j in range(8)
+        ],
+    )
+    return (
+        compact.join(F.broadcast(emb), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_tokens"),
+            *[
+                F.sum(F.expr(f"n * c{j}")).cast("long").alias(f"e{j}")
+                for j in range(8)
+            ],
+        )
+    )
+
+
+@_q(
     "multimodal_resize",
     """
     WITH p AS (
