@@ -105,6 +105,7 @@ HEADLINE = [
     "dup_span_stats",
     "dup_span_remove",
     "mixture_token_budget",
+    "selection_manifest",
 ]
 
 

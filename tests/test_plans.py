@@ -560,3 +560,14 @@ def test_doc_embedding_pool_broadcast_table_partial_agg(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "partial_sum" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_selection_manifest_composition_shape(spark):
+    """The selection capstone composes five stages without inventing new
+    shuffle shapes: broadcast joins for the small sides, window exchanges
+    for cap/budget, no cartesian, no single-partition stage, and no
+    sort-merge join forced anywhere."""
+    plan = plan_of(Q.queries()["selection_manifest"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -4702,6 +4702,140 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "selection_manifest",
+    f"""
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tokens,
+        CAST(coalesce(list_sum(list_transform(w, t -> length(t))), 0)
+             AS BIGINT) AS n_chars,
+        CAST(len(list_filter(list_distinct(w),
+                             t -> list_contains({_STOP_SQL}, t)))
+             AS BIGINT) AS n_stop_distinct,
+        CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        CAST(len(list_filter(w, t -> regexp_matches(t, '[a-z]')))
+             AS BIGINT) AS n_alpha
+      FROM tok
+    ), gopher_kept AS (
+      SELECT doc_id, n_tokens FROM m
+      WHERE n_tokens BETWEEN 10 AND 100000
+        AND n_chars BETWEEN 3 * n_tokens AND 10 * n_tokens
+        AND n_alpha * 10 >= n_tokens * 8
+        AND n_stop_distinct >= 2
+        AND n_distinct * 5 >= n_tokens
+    ), occ AS (
+      SELECT doc_id, unnest(w) AS s FROM tok
+    ), bq AS (
+      SELECT doc_id, {_MD5_BUCKET_DUCK} AS b FROM occ
+    ), wt AS (
+      SELECT CAST(r AS BIGINT) AS b, CAST(r % 7 AS BIGINT) - 3 AS wgt
+      FROM range(256) t(r)
+    ), clf_kept AS (
+      SELECT doc_id FROM bq JOIN wt USING (b)
+      GROUP BY doc_id HAVING sum(wgt) > 0
+    ), surv AS (
+      SELECT g.doc_id, g.doc_id % 37 AS host, d.source, g.n_tokens
+      FROM gopher_kept g
+      JOIN clf_kept USING (doc_id)
+      JOIN documents d USING (doc_id)
+      WHERE (g.doc_id % 37) % 7 NOT IN (3, 5)
+    ), capped AS (
+      SELECT * FROM (
+        SELECT doc_id, host, source, n_tokens,
+               count(*) OVER (PARTITION BY host) AS host_cnt,
+               row_number() OVER (
+                 PARTITION BY host
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM surv
+      ) WHERE rk <= 5 + host_cnt // 3
+    ), budgeted AS (
+      SELECT doc_id, host, source, n_tokens, rk,
+             CAST((CAST(substr(source, 4) AS INT) % 4 + 1) * 800
+                  AS BIGINT) AS budget_tokens,
+             CAST(sum(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_tokens
+      FROM capped
+    )
+    SELECT doc_id, CAST(host AS BIGINT) AS host, source, n_tokens,
+           CAST(rk AS BIGINT) AS rk, budget_tokens, cum_tokens
+    FROM budgeted WHERE cum_tokens - n_tokens < budget_tokens
+    """,
+)
+def q_selection_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION capstone — the round-5 choose-what-to-train-on layer
+    composed end-to-end in one declarative plan, the selection twin of
+    ``training_manifest``: URL blocklist cut -> Gopher rule battery ->
+    hashed-linear classifier -> per-domain frequency cap (rank over the
+    SURVIVORS, not the raw corpus) -> per-source mixture token budget.
+    The Spark side literally composes the registered stage callables
+    (``q_url_blocklist_filter`` / ``q_gopher_quality_filter`` /
+    ``q_quality_classifier``), so the manifest certifies the same code
+    paths the per-stage oracles certify; the cap/budget windows then run
+    over the surviving set, which is what makes the composition a real
+    pipeline rather than an intersection of independent filters. The
+    oracle replays every stage in ONE SQL statement (blocklist inlined
+    as its defining host arithmetic). Scale shape: three broadcast-side
+    joins + two window exchanges (host, source) over an ever-shrinking
+    survivor stream — each stage individually plan-gated; nothing here
+    adds a new shuffle shape."""
+    b = q_url_blocklist_filter(spark, sf_dir).filter(F.col("keep")).select(
+        "doc_id", "host"
+    )
+    g = q_gopher_quality_filter(spark, sf_dir).filter(F.col("keep")).select(
+        "doc_id", "n_tokens"
+    )
+    c = q_quality_classifier(spark, sf_dir).filter(F.col("keep")).select(
+        "doc_id"
+    )
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    surv = b.join(g, "doc_id").join(c, "doc_id").join(src, "doc_id")
+    wh = Window.partitionBy("host")
+    whr = wh.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    capped = (
+        surv.select(
+            "doc_id",
+            "host",
+            "source",
+            "n_tokens",
+            F.count("*").over(wh).cast("long").alias("host_cnt"),
+            F.row_number().over(whr).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= F.lit(5) + F.expr("host_cnt DIV 3"))
+    )
+    ws = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        capped.select(
+            "doc_id",
+            "host",
+            "source",
+            "n_tokens",
+            "rk",
+            (
+                (F.substring("source", 4, 10).cast("int") % 4 + 1) * 800
+            )
+            .cast("long")
+            .alias("budget_tokens"),
+            F.sum("n_tokens").over(ws).cast("long").alias("cum_tokens"),
+        )
+        .filter(
+            F.col("cum_tokens") - F.col("n_tokens")
+            < F.col("budget_tokens")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
