@@ -37,6 +37,8 @@ HEADLINE = [
     "pagerank_priority_wave",
     "host_rate_window",
     "host_cumulative",
+    "anchor_text_agg",
+    "crawl_budget_alloc",
     # relational core
     "groupby_agg",
     "window_topk",
@@ -91,6 +93,7 @@ HEADLINE = [
     "segment_dedup",
     "segment_dedup_hashed",
     "unigram_surprisal",
+    "bigram_surprisal",
     "recrawl_delta",
     "recrawl_priority_wave",
     "incremental_dedup",

@@ -571,3 +571,84 @@ def test_selection_manifest_composition_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_anchor_text_agg_aggregate_argmax_no_window(spark):
+    """Anchor aggregation keys every exchange on the url and resolves the
+    dominant anchor with a min(struct) AGGREGATE, not a per-URL window —
+    no Sort over the edge stream, no cartesian shape, and the final
+    hosts x top join is host-bounded."""
+    plan = plan_of(Q.queries()["anchor_text_agg"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "partial_count" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_bigram_surprisal_stream_never_shuffles_for_scoring(spark):
+    """Like unigram_surprisal: scoring reaches the bigram stream only as
+    broadcasts (top-K vocab via TakeOrdered, continuation counts, one-row
+    total) — no sort-merge join repartitions the 100 TB stream."""
+    plan = plan_of(Q.queries()["bigram_surprisal"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_count" in plan, plan
+
+
+def test_crawl_budget_alloc_broadcast_alloc_table(spark):
+    """The allocation table returns to the frontier as a broadcast-hash
+    join; the only corpus-wide exchange is the per-host selection window.
+    SinglePartition appears only on host-cardinality/one-row tables (the
+    largest-remainder rank over |hosts| rows), never on the corpus."""
+    plan = plan_of(Q.queries()["crawl_budget_alloc"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_crawl_budget_alloc_largest_remainder_exact(spark):
+    """Allocations match a pure-Python largest-remainder reference and sum
+    to exactly B=200 — the exact-int64 div/mod arithmetic cannot drift."""
+    rows = Q.queries()["crawl_budget_alloc"](spark, SF).collect()
+    alloc_by_host = {}
+    per_host_rns = {}
+    for r in rows:
+        alloc_by_host[r.host] = r.alloc
+        per_host_rns.setdefault(r.host, []).append(r.rn)
+    # python reference from the same docs table
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    ).collect()
+    import collections
+
+    s = collections.Counter()
+    n_docs = collections.Counter()
+    for r in docs:
+        host = r.doc_id % 37
+        s[host] += len(r.text.strip().lower().split())
+        n_docs[host] += 1
+    S = sum(s.values())
+    base = {h: (200 * v) // S for h, v in s.items()}
+    rem = {h: (200 * v) % S for h, v in s.items()}
+    leftover = 200 - sum(base.values())
+    order = sorted(s, key=lambda h: (-rem[h], h))
+    ref = {
+        h: base[h] + (1 if i < leftover else 0)
+        for i, h in enumerate(order)
+    }
+    assert sum(ref.values()) == 200
+    # hosts absent from the result got a zero allocation; present hosts
+    # carry exactly the reference allocation
+    for h, a in alloc_by_host.items():
+        assert a == ref[h], (h, a, ref[h])
+    for h in set(ref) - set(alloc_by_host):
+        assert ref[h] == 0, (h, ref[h])
+    # each host keeps its first min(alloc, available) URLs, ranks 1..k
+    for h, rns in per_host_rns.items():
+        k = min(ref[h], n_docs[h])
+        assert sorted(rns) == list(range(1, k + 1))
+    assert sum(len(v) for v in per_host_rns.values()) == sum(
+        min(ref[h], n_docs[h]) for h in ref
+    )

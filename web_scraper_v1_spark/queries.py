@@ -4837,6 +4837,342 @@ def q_selection_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round-5 tail additions: inbound anchor-text aggregation, bigram-LM
+# surprisal, and crawl budget allocation — the remaining canon web-corpus
+# signals over the same deterministic link/URL conventions
+# --------------------------------------------------------------------------
+
+# deterministic anchor-phrase vocabulary: the corpus generator emits no
+# anchor text, so anchors derive from the same modular doc_id conventions
+# as link_extract's URLs (two outlinks per page, hosts mod 37)
+_ANCHORS = (
+    "click here", "read more", "official site", "home page",
+    "next page", "download", "reference docs", "details",
+)
+
+
+def _anchor_edges(d: DataFrame) -> DataFrame:
+    """(src_host, url, anchor) inbound-link edge list derived from
+    documents. Target paths are mod 10 (not link_extract's mod 1000) so
+    the per-URL aggregation is dense enough to be meaningful at every sf:
+    at sf0.01 each of the ~370 target URLs averages ~27 inbound edges."""
+    i = F.col("doc_id")
+    phrases = F.array(*[F.lit(a) for a in _ANCHORS])
+
+    def edge(host_expr, path_expr, salt: int) -> DataFrame:
+        url = F.concat(
+            F.lit("http://host"), host_expr.cast("string"),
+            F.lit(".example.com/doc/"), path_expr.cast("string"),
+        )
+        anchor = F.element_at(
+            phrases, ((i * 13 + F.lit(salt)) % 8 + 1).cast("int")
+        )
+        return d.select(
+            (i % 37).alias("src_host"),
+            url.alias("url"),
+            anchor.alias("anchor"),
+        )
+
+    return edge((i * 7 + 1) % 37, (i * 3 + 1) % 10, 0).unionAll(
+        edge((i * 11 + 2) % 37, (i * 5 + 2) % 10, 1)
+    )
+
+
+@_q(
+    "anchor_text_agg",
+    """
+    WITH anchors(aid, phrase) AS (
+      VALUES (0,'click here'),(1,'read more'),(2,'official site'),
+             (3,'home page'),(4,'next page'),(5,'download'),
+             (6,'reference docs'),(7,'details')
+    ), edges AS (
+      SELECT doc_id % 37 AS src_host,
+             'http://host' || CAST((doc_id*7+1)%37 AS VARCHAR)
+               || '.example.com/doc/' || CAST((doc_id*3+1)%10 AS VARCHAR)
+               AS url,
+             (doc_id*13)%8 AS aid
+      FROM documents
+      UNION ALL
+      SELECT doc_id % 37,
+             'http://host' || CAST((doc_id*11+2)%37 AS VARCHAR)
+               || '.example.com/doc/' || CAST((doc_id*5+2)%10 AS VARCHAR),
+             (doc_id*13+1)%8
+      FROM documents
+    ), ea AS (
+      SELECT src_host, url, phrase AS anchor
+      FROM edges JOIN anchors ON anchors.aid = edges.aid
+    ), pa AS (
+      SELECT url, anchor, CAST(count(*) AS BIGINT) AS cnt
+      FROM ea GROUP BY url, anchor
+    ), hosts AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS inlinks,
+             CAST(count(DISTINCT src_host) AS BIGINT) AS n_src_hosts
+      FROM ea GROUP BY url
+    ), top AS (
+      SELECT url, anchor, cnt,
+             ROW_NUMBER() OVER (PARTITION BY url ORDER BY cnt DESC, anchor)
+               AS rn
+      FROM pa
+    )
+    SELECT hosts.url AS url, inlinks, n_src_hosts,
+           top.anchor AS top_anchor, top.cnt AS top_anchor_cnt
+    FROM hosts JOIN top ON top.url = hosts.url AND rn = 1
+    """,
+)
+def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inbound anchor-text aggregation per target URL — the classic
+    web-corpus labeling signal (anchor text describes the TARGET page
+    better than the source): per URL the inbound-link count, distinct
+    referring hosts, and the dominant anchor phrase (tie-break: anchor
+    ASC). 100 TB shape: both aggregations exchange on the url key with
+    map-side partial combine, and the dominant-anchor argmax is a
+    min(struct(-cnt, anchor)) AGGREGATE — not a window — so no per-URL
+    sort materializes; the (url, anchor) pre-aggregation caps the argmax
+    input at |urls| x |anchor vocab| rows. Reference parity: the Go
+    engine only extracts links (parser.go); anchor aggregation is the
+    corpus-side extension a ranking/crawl-prioritization pipeline needs."""
+    ea = _anchor_edges(_t(spark, sf_dir, "documents"))
+    pa = ea.groupBy("url", "anchor").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    hosts = ea.groupBy("url").agg(
+        F.count("*").cast("long").alias("inlinks"),
+        F.countDistinct("src_host").cast("long").alias("n_src_hosts"),
+    )
+    top = pa.groupBy("url").agg(
+        F.min(
+            F.struct(
+                (-F.col("cnt")).alias("neg_cnt"),
+                F.col("anchor").alias("anchor"),
+            )
+        ).alias("s")
+    )
+    return hosts.join(top, "url").select(
+        "url",
+        "inlinks",
+        "n_src_hosts",
+        F.col("s.anchor").alias("top_anchor"),
+        (-F.col("s.neg_cnt")).cast("long").alias("top_anchor_cnt"),
+    )
+
+
+@_q(
+    "bigram_surprisal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+      FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(a)),
+                                   i -> {'w1': a[i], 'w2': a[i+1]})) AS b
+      FROM toks
+    ), big2 AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM big
+    ), bc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      FROM big2 GROUP BY w1, w2
+    ), uc AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big2 GROUP BY w1
+    ), uc2 AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM big2 GROUP BY w2
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total FROM big2
+    ), vocab AS (
+      SELECT bc.w1, bc.w2, c12, c1 FROM bc JOIN uc ON uc.w1 = bc.w1
+      ORDER BY c12 DESC, bc.w1, bc.w2 LIMIT 64
+    ), scored AS (
+      SELECT big2.doc_id,
+             CASE WHEN v.c12 IS NOT NULL
+                  THEN CAST(round(CAST(v.c1 AS DOUBLE)
+                                  / CAST(v.c12 AS DOUBLE) * 1000) AS BIGINT)
+                  ELSE CAST(round(CAST(n_total AS DOUBLE)
+                                  / CAST(uc2.c2 AS DOUBLE) * 4000) AS BIGINT)
+             END AS q
+      FROM big2 LEFT JOIN vocab v ON v.w1 = big2.w1 AND v.w2 = big2.w2
+      JOIN uc2 ON uc2.w2 = big2.w2 CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(q) AS BIGINT) AS surprisal_q_sum,
+           round(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS mean_surprisal_q
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal with stupid-backoff — the order-2 extension of
+    unigram_surprisal's CCNet-style quality proxy: in-vocab bigrams score
+    the rational inverse conditional probability c(w1)/c(w1,w2), OOV
+    bigrams back off to the penalized inverse continuation probability
+    4 * N / c(w2) (both quantized to int64 at x1000 — ln would order
+    identically; the house transcendental-free oracle-parity rule).
+    Vocab is the top-64 bigrams (tie-break c12 DESC, w1, w2 ASC so the
+    LIMIT is deterministic). 100 TB shape: bigram pairs come from a
+    per-row transform over the token array (guarded against Spark's
+    descending sequence(1,0) on single-token docs — no self-join on
+    position), model training is two map-side-combined aggregations, and
+    scoring reaches the bigram stream ONLY as broadcasts (top-K vocab
+    carrying its context count, the continuation-count table — bounded by
+    unigram vocab, the production build would top-K it like
+    unigram_surprisal — and the one-row total), so the stream never
+    re-shuffles before the final (doc_id) aggregation."""
+    d = _t(spark, sf_dir, "documents")
+    a = TX.tokens(F.col("text"))
+    idx = F.when(
+        F.size(a) >= 2, F.sequence(F.lit(1), F.size(a) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.element_at(a, i).alias("w1"),
+            F.element_at(a, i + 1).alias("w2"),
+        ),
+    )
+    big = d.select("doc_id", F.explode(pairs).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bc = big.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    uc = big.groupBy("w1").agg(F.count("*").cast("long").alias("c1"))
+    uc2 = big.groupBy("w2").agg(F.count("*").cast("long").alias("c2"))
+    tot = big.agg(F.count("*").cast("long").alias("n_total"))
+    vocab = (
+        bc.join(uc, "w1")
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(64)
+        .select("w1", "w2", "c12", "c1")
+    )
+    scored = (
+        big.join(F.broadcast(vocab), ["w1", "w2"], "left")
+        .join(F.broadcast(uc2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c12").isNotNull(),
+                F.round(
+                    F.col("c1").cast("double")
+                    / F.col("c12").cast("double")
+                    * 1000
+                ),
+            )
+            .otherwise(
+                F.round(
+                    F.col("n_total").cast("double")
+                    / F.col("c2").cast("double")
+                    * 4000
+                )
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("q").cast("long").alias("surprisal_q_sum"),
+        F.round(
+            F.sum("q").cast("double") / F.count("*").cast("double"), 4
+        ).alias("mean_surprisal_q"),
+    )
+
+
+@_q(
+    "crawl_budget_alloc",
+    r"""
+    WITH docs AS (
+      SELECT doc_id % 37 AS host, doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+                  AS BIGINT) AS w
+      FROM documents
+    ), stats AS (
+      SELECT host, CAST(sum(w) AS BIGINT) AS s FROM docs GROUP BY host
+    ), tot AS (
+      SELECT CAST(sum(s) AS BIGINT) AS s_total FROM stats
+    ), alloc0 AS (
+      SELECT host, (200*s) // s_total AS base, (200*s) % s_total AS rem
+      FROM stats CROSS JOIN tot
+    ), lo AS (
+      SELECT 200 - CAST(sum(base) AS BIGINT) AS leftover FROM alloc0
+    ), ranked AS (
+      SELECT host, base,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, host) AS rr
+      FROM alloc0
+    ), fa AS (
+      SELECT host,
+             CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+                  AS BIGINT) AS alloc
+      FROM ranked CROSS JOIN lo
+    ), sel AS (
+      SELECT host, doc_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY doc_id)
+                  AS BIGINT) AS rn
+      FROM docs
+    )
+    SELECT sel.host AS host, doc_id, rn, alloc
+    FROM sel JOIN fa ON fa.host = sel.host WHERE rn <= alloc
+    """,
+)
+def q_crawl_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl budget allocation — the tier-crawl scheduler decision: a
+    global page budget (B=200) is split across hosts proportionally to a
+    per-host value signal (token mass here; pagerank x change-rate in
+    production) by the LARGEST-REMAINDER method, entirely in exact int64
+    arithmetic — base = (B*s) div S, remainder = (B*s) mod S, the
+    leftover B - sum(base) pages go to the largest remainders (tie-break
+    host ASC) — so allocations sum to EXACTLY B with no float drift in
+    either engine. Then each host's frontier keeps its first alloc URLs
+    (row_number over doc_id). 100 TB shape: one map-side-combined host
+    aggregation; the allocation table is host-cardinality (tiny — its
+    global window sort is over |hosts| rows, never the corpus) and
+    returns to the frontier as a BROADCAST, so the only corpus-wide
+    exchange is the per-host selection window's hashpartitioning(host) —
+    the same shape as per_host_wave. At extreme scale B*s needs
+    decimal(38,0) headroom (int64 here: B=200, s <= corpus token count).
+    Reference parity: taskqueue prioritization (queue.go) has no
+    cross-host budget; this is the fleet-level scheduler a 100 TB crawl
+    adds on top."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        (F.col("doc_id") % 37).alias("host"),
+        "doc_id",
+        TX.token_count(F.col("text")).alias("w"),
+    )
+    stats = docs.groupBy("host").agg(F.sum("w").cast("long").alias("s"))
+    tot = stats.agg(F.sum("s").cast("long").alias("s_total"))
+    alloc0 = (
+        stats.crossJoin(F.broadcast(tot))
+        .withColumn("base", F.expr("(200 * s) div s_total"))
+        .withColumn("rem", (F.lit(200) * F.col("s")) % F.col("s_total"))
+    )
+    leftover = alloc0.agg(
+        (F.lit(200) - F.sum("base")).cast("long").alias("leftover")
+    )
+    ranked = alloc0.withColumn(
+        "rr",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("host"))),
+    ).crossJoin(F.broadcast(leftover))
+    fa = ranked.select(
+        "host",
+        (
+            F.col("base")
+            + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("alloc"),
+    )
+    sel = docs.withColumn(
+        "rn",
+        F.row_number()
+        .over(Window.partitionBy("host").orderBy("doc_id"))
+        .cast("long"),
+    )
+    return (
+        sel.join(F.broadcast(fa), "host")
+        .where(F.col("rn") <= F.col("alloc"))
+        .select("host", "doc_id", "rn", "alloc")
+    )
+
+
+# --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
 
