@@ -652,3 +652,17 @@ def test_crawl_budget_alloc_largest_remainder_exact(spark):
     assert sum(len(v) for v in per_host_rns.values()) == sum(
         min(ref[h], n_docs[h]) for h in ref
     )
+
+
+def test_bigram_pairs_lambda_reads_bound_array(spark):
+    """Regression gate for the O(tokens^2) inlining bug: the pair
+    transform's element_at lambda must read the materialized `arr`
+    attribute, never the split expression itself — inlined, every
+    element access re-runs the regex tokenization (measured 13.8 s vs
+    2.0 s warm at sf0.1)."""
+    import re
+
+    plan = plan_of(Q.queries()["bigram_surprisal"](spark, SF))
+    assert "arr#" in plan, plan
+    heads = re.findall(r"transform\(.*?lambdafunction", plan)
+    assert heads and not any("split(" in h for h in heads), plan
