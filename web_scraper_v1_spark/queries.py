@@ -4928,9 +4928,15 @@ def q_anchor_text_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial combine, and the dominant-anchor argmax is a
     min(struct(-cnt, anchor)) AGGREGATE — not a window — so no per-URL
     sort materializes; the (url, anchor) pre-aggregation caps the argmax
-    input at |urls| x |anchor vocab| rows. Reference parity: the Go
-    engine only extracts links (parser.go); anchor aggregation is the
-    corpus-side extension a ranking/crawl-prioritization pipeline needs."""
+    input at |urls| x |anchor vocab| rows. The edge list is read twice
+    (dominant-anchor path, inlinks/distinct-hosts path) — acceptable
+    because extracted edges are ~2 short rows per page, orders of
+    magnitude smaller than the corpus scan that produced them; a
+    production run materializes the extraction output once (the engine's
+    snapshot store) and both aggregations read that table. Reference
+    parity: the Go engine only extracts links (parser.go); anchor
+    aggregation is the corpus-side extension a ranking/
+    crawl-prioritization pipeline needs."""
     ea = _anchor_edges(_t(spark, sf_dir, "documents"))
     pa = ea.groupBy("url", "anchor").agg(
         F.count("*").cast("long").alias("cnt")
