@@ -87,6 +87,10 @@ HEADLINE = [
     "multimodal_resize",
     "video_frame_sample",
     "image_neardup_ahash",
+    # WARC container layer (Common-Crawl ingestion path)
+    "warc_roundtrip",
+    "cdx_index",
+    "sitemap_extract",
     "winnow_fingerprint",
     "dedup_stream_batch",
     "decontaminate_hashed",

@@ -5190,6 +5190,189 @@ def q_crawl_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# WARC container layer (sources/warc.py): the Common-Crawl ingestion
+# format. The north rule's input is "Iceberg table of Common-Crawl-style
+# web pages"; upstream of that table the pages live in *.warc.gz segments
+# (per-record gzip members). These queries certify the full binary path:
+# build real WARC segment blobs from the relational base, parse them back
+# with the streaming Content-Length-driven kernel, and hash-compare the
+# recovered fields against the oracle's direct reconstruction.
+# --------------------------------------------------------------------------
+
+_WARC_URL_SQL = (
+    "'http://host' || CAST(doc_id % 37 AS VARCHAR)"
+    " || '.example.com/doc/' || CAST(doc_id AS VARCHAR)"
+)
+_WARC_DATE_SQL = (
+    "'2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')"
+    " || 'T12:00:00Z'"
+)
+_WARC_HTML_SQL = (
+    "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR)"
+    " || '</title></head><body><p>' || text || '</p></body></html>'"
+)
+
+
+def _warc_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, warc_date, payload) derived from documents — the Spark twin
+    of _WARC_URL_SQL/_WARC_DATE_SQL/_WARC_HTML_SQL."""
+    d = _t(spark, sf_dir, "documents")
+    h = (F.col("doc_id") % 37).cast("string")
+    i = F.col("doc_id").cast("string")
+    return d.select(
+        F.concat(
+            F.lit("http://host"), h, F.lit(".example.com/doc/"), i
+        ).alias("url"),
+        F.concat(
+            F.lit("2026-01-"),
+            F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+            F.lit("T12:00:00Z"),
+        ).alias("warc_date"),
+        F.encode(
+            F.concat(
+                F.lit("<html><head><title>doc "), i,
+                F.lit("</title></head><body><p>"), F.col("text"),
+                F.lit("</p></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+
+
+@_q(
+    "warc_roundtrip",
+    f"""
+    SELECT doc_id,
+           {_WARC_URL_SQL} AS url,
+           {_WARC_DATE_SQL} AS warc_date,
+           CAST(200 AS INT) AS status,
+           'text/html' AS mime,
+           CAST(strlen({_WARC_HTML_SQL}) AS BIGINT) AS n_bytes,
+           text
+    FROM documents
+    """,
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC encode -> parse roundtrip over REAL container bytes: pages
+    become per-record gzip members inside segment blobs (warcinfo +
+    request + response records, Common Crawl's layout), then the
+    streaming parser recovers url/date/status/mime/payload — including
+    SKIPPING the interleaved warcinfo/request records by WARC-Type, not
+    by position. Every recovered field is value-hash-gated against the
+    oracle's direct reconstruction, so the binary encode and the
+    Content-Length-driven walk are both exact. No reference counterpart
+    (the reference fetches live HTML, internal/scraper); this is the
+    Common-Crawl ingestion seam the north rule's input table implies."""
+    from web_scraper_v1_spark.sources import warc as W
+
+    segs = W.encode_warc_segments(_warc_pages(spark, sf_dir), n_segments=8)
+    recs = W.parse_warc_segments(segs)
+    return recs.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        "url",
+        "warc_date",
+        "status",
+        "mime",
+        F.length("payload").cast("bigint").alias("n_bytes"),
+        F.regexp_extract(
+            F.col("payload").cast("string"), r"(?s)<p>(.*)</p>", 1
+        ).alias("text"),
+    )
+
+
+@_q(
+    "cdx_index",
+    f"""
+    SELECT 'com,example,host' || CAST(doc_id % 37 AS VARCHAR)
+             || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+           {_WARC_DATE_SQL} AS warc_date,
+           {_WARC_URL_SQL} AS url,
+           md5({_WARC_HTML_SQL}) AS digest,
+           CAST(strlen({_WARC_HTML_SQL}) AS BIGINT) AS length
+    FROM documents
+    """,
+)
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture index (Common Crawl CDX convention) built FROM the parsed
+    WARC records, not from the relational base: SURT key (host labels
+    reversed, pure JVM regex/array expressions — no Python in the key
+    path), md5 content digest over the payload bytes, record length.
+    Matching the oracle's base-table reconstruction proves the container
+    path again plus the SURT/digest math. At 100 TB the CDX build is one
+    binaryFile scan -> parse -> project (no shuffle); the index consumer
+    sorts by surt, which is a range-partitioned sort on a short key."""
+    from web_scraper_v1_spark.sources import warc as W
+
+    segs = W.encode_warc_segments(_warc_pages(spark, sf_dir), n_segments=8)
+    recs = W.parse_warc_segments(segs)
+    return recs.select(
+        W.surt_key(F.col("url")).alias("surt"),
+        "warc_date",
+        "url",
+        F.md5("payload").alias("digest"),
+        F.length("payload").cast("bigint").alias("length"),
+    )
+
+
+@_q(
+    "sitemap_extract",
+    f"""
+    SELECT {_HOST_SQL} AS host,
+           {_WARC_URL_SQL} AS url,
+           CAST('2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                AS VARCHAR) AS lastmod
+    FROM documents
+    """,
+)
+def q_sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol URL discovery (the frontier-seeding path real
+    crawls use alongside link extraction, sitemaps.org): per host, build
+    the <urlset> XML document, then recover (url, lastmod) entries with
+    JVM-side ``xpath`` — zero Python, zero UDFs. The XML assembly
+    aggregates url-sorted entries per host (one shuffle on host, the
+    natural sitemap partitioning: one sitemap file per host); extraction
+    is xpath + arrays_zip + explode inside codegen. Oracle reconstructs
+    the entries directly from the base table."""
+    pages = _warc_pages(spark, sf_dir).select(
+        "url",
+        F.regexp_extract("url", r"^http://([^/]*)", 1).alias("host"),
+        F.substring("warc_date", 1, 10).alias("lastmod"),
+    )
+    xml = pages.groupBy("host").agg(
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat(
+                            F.lit("<url><loc>"), F.col("url"),
+                            F.lit("</loc><lastmod>"), F.col("lastmod"),
+                            F.lit("</lastmod></url>"),
+                        )
+                    )
+                ),
+                "",
+            ),
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml")
+    )
+    parsed = xml.select(
+        "host",
+        F.arrays_zip(
+            F.xpath("sitemap_xml", F.lit("/urlset/url/loc/text()")),
+            F.xpath("sitemap_xml", F.lit("/urlset/url/lastmod/text()")),
+        ).alias("entries"),
+    ).select("host", F.explode("entries").alias("e"))
+    return parsed.select(
+        "host",
+        F.col("e.0").alias("url"),
+        F.col("e.1").alias("lastmod"),
+    )
+
+
+# --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
 
