@@ -113,6 +113,51 @@ def test_corrupt_gzip_member_costs_only_the_tail():
     assert len(got) == 1
 
 
+def test_negative_content_length_terminates():
+    """Regression: a negative Content-Length must not walk pos backward
+    (previously an infinite loop re-yielding the same record)."""
+    evil = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"Content-Length: -33\r\n\r\nHTTP/1.1 200 OK\r\n\r\nx\r\n\r\n"
+    )
+    assert list(W._iter_warc_records(evil)) == []
+
+
+def test_crlf_url_escaped_no_header_injection(spark):
+    """Regression: a URL carrying raw CR/LF (attacker-influenced input)
+    must not terminate the header block early and drop the rest of the
+    segment — it comes back percent-escaped, neighbors intact."""
+    evil_url = "http://h.example.com/a\r\n\r\nWARC-Injected: yes"
+    payloads = {
+        "http://h.example.com/1": b"one",
+        evil_url: b"two",
+        "http://h.example.com/3": b"three",
+    }
+    segs = W.encode_warc_segments(
+        _pages(spark, payloads), n_segments=1, compress=False
+    )
+    recs = W.parse_warc_segments(segs, compressed=False).collect()
+    got = {r["url"]: bytes(r["payload"]) for r in recs}
+    assert len(got) == 3
+    assert got["http://h.example.com/a%0D%0A%0D%0AWARC-Injected: yes"] == b"two"
+    assert got["http://h.example.com/3"] == b"three"
+
+
+def test_gzip_split_multichunk_member():
+    """A member whose COMPRESSED size exceeds the 1 MiB feed chunk must
+    reassemble exactly across chunk boundaries."""
+    import hashlib
+
+    # ~2.5 MiB of incompressible deterministic bytes
+    raw = b"".join(
+        hashlib.sha256(i.to_bytes(4, "big")).digest() for i in range(80000)
+    )
+    blob = W._gzip_member(raw) + W._gzip_member(b"tail")
+    assert len(blob) > W._GZIP_CHUNK  # the test premise: >1 chunk
+    got = list(W._split_gzip_members(blob))
+    assert got == [raw, b"tail"]
+
+
 def test_binaryfile_ingestion_path(spark, tmp_path):
     """The 100 TB read path: real *.warc.gz objects on disk, binaryFile
     scan, streaming parse."""

@@ -76,6 +76,15 @@ def _record_id(url: str) -> str:
     )
 
 
+def _header_value(v: str) -> str:
+    """CR/LF percent-escaped: a crawl URL is attacker-influenced, and a
+    raw CR/LF in a header value would terminate the header block early
+    (WARC header injection), desyncing the record framing on parse.
+    Only CR/LF are escaped — they are illegal in URIs, so legitimate
+    percent-encoded URLs pass through byte-identically."""
+    return v.replace("\r", "%0D").replace("\n", "%0A")
+
+
 def _warc_record(
     warc_type: str,
     headers: list[tuple[str, str]],
@@ -84,7 +93,7 @@ def _warc_record(
     head = [b"WARC/1.0"]
     head.append(b"WARC-Type: " + warc_type.encode("ascii"))
     for k, v in headers:
-        head.append(k.encode("ascii") + b": " + v.encode("utf-8"))
+        head.append(k.encode("ascii") + b": " + _header_value(v).encode("utf-8"))
     head.append(b"Content-Length: " + str(len(block)).encode("ascii"))
     return CRLF.join(head) + CRLF + CRLF + block + CRLF + CRLF
 
@@ -198,22 +207,34 @@ def encode_warc_segments(
     return keyed.groupBy("segment_id").applyInPandas(_build, SEGMENT_SCHEMA)
 
 
+_GZIP_CHUNK = 1 << 20
+
+
 def _split_gzip_members(blob: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of independent gzip members one at a
-    time (streaming; never inflates the whole segment at once)."""
+    time, feeding fixed-size chunks through a memoryview — per-member
+    cost is proportional to the MEMBER, not the remaining segment, so a
+    1 GiB segment of ~100k members costs ~1 GiB of byte traffic, not
+    O(members x segment)."""
+    mv = memoryview(blob)
     pos = 0
     n = len(blob)
     while pos < n:
         d = zlib.decompressobj(wbits=31)
+        out: list[bytes] = []
+        p = pos
         try:
-            out = d.decompress(blob[pos:])
+            while p < n and not d.eof:
+                chunk = mv[p : p + _GZIP_CHUNK]
+                out.append(d.decompress(chunk))
+                p += len(chunk)
         except zlib.error:
             return  # corrupt tail: costs the remaining members only
-        yield out + d.flush()
-        consumed = n - pos - len(d.unused_data)
-        if consumed <= 0:
-            return
-        pos += consumed
+        if not d.eof:
+            return  # truncated final member
+        yield b"".join(out)
+        # unused_data = bytes of the final chunk past this member's end
+        pos = p - len(d.unused_data)
 
 
 def _iter_warc_records(raw: bytes) -> Iterator[dict]:
@@ -247,6 +268,8 @@ def _iter_warc_records(raw: bytes) -> Iterator[dict]:
             clen = int(fields.get("content-length", ""))
         except ValueError:
             return
+        if clen < 0:
+            return  # negative length would walk pos backward: bail
         block_start = head_end + 4
         if block_start + clen > n:
             return  # truncated trailing record
