@@ -399,13 +399,16 @@ def test_registry_contract_consistency():
     eff = [0 if n in _REVERIFY else last.get(n, 0) for n in order]
     assert eff == sorted(eff), eff
     # every query stale by >=2 rounds relative to the freshest round must
-    # fit in the checked window
+    # fit in the checked window: with >50 registered queries the driver
+    # cap forces alternation, so the rotation guarantee is "worst-case
+    # driver staleness <= 2 rounds" (verified-last-round queries may wait
+    # one more round), never that everything fits at once
     if rounds_seen:
         newest = rounds_seen[-1]
         stale = [
             n
             for n in order
-            if n in _REVERIFY or last.get(n, 0) < newest
+            if n in _REVERIFY or last.get(n, 0) <= newest - 2
         ]
         assert all(order.index(n) < 50 for n in stale), (
             f"{len(stale)} stale queries exceed the 50-query window"
