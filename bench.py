@@ -31,6 +31,7 @@ HEADLINE = [
     "url_canonicalize",
     "url_blocklist_filter",
     "robots_filter",
+    "robots_rep_match",
     "link_extract",
     "frontier_growth",
     "host_pagerank",

@@ -97,3 +97,118 @@ def test_canonicalize_property_grid(spark):
             assert not r.c1.endswith("?")
             assert "#" not in r.c1
             assert "/" in rest or not rest, r.c1  # path present
+
+
+# ---------------------------------------------------------------------------
+# REP (RFC 9309) robots matching: precedence edge cases + plan shape
+# ---------------------------------------------------------------------------
+
+
+def _rep_verdicts(spark, rules_rows, paths):
+    from pyspark.sql import types as T
+
+    from web_scraper_v1_spark.operators.frontier import apply_robots_rep
+
+    rules_schema = T.StructType(
+        [
+            T.StructField("host", T.StringType(), False),
+            T.StructField("rule_type", T.StringType(), False),
+            T.StructField("pattern", T.StringType(), False),
+            T.StructField("regex", T.StringType(), True),
+        ]
+    )
+    rules = spark.createDataFrame(rules_rows, rules_schema)
+    tasks = spark.createDataFrame(
+        [("h", p) for p in paths],
+        T.StructType(
+            [
+                T.StructField("host", T.StringType(), False),
+                T.StructField("path", T.StringType(), False),
+            ]
+        ),
+    )
+    out = apply_robots_rep(tasks, rules)
+    return {r["path"]: r["allowed"] for r in out.collect()}
+
+
+def test_rep_longest_match_and_carveout(spark):
+    rules = [
+        ("h", "disallow", "/a", None),
+        ("h", "allow", "/a/public", None),
+    ]
+    got = _rep_verdicts(spark, rules, ["/a/x", "/a/public/y", "/b"])
+    assert got == {"/a/x": False, "/a/public/y": True, "/b": True}
+
+
+def test_rep_allow_wins_length_tie(spark):
+    rules = [
+        ("h", "disallow", "/page", None),
+        ("h", "allow", "/page", None),
+    ]
+    got = _rep_verdicts(spark, rules, ["/page/1"])
+    assert got == {"/page/1": True}
+
+
+def test_rep_wildcard_and_anchor(spark):
+    rules = [
+        ("h", "disallow", "/*.pdf$", r"^/.*\.pdf$"),
+    ]
+    got = _rep_verdicts(spark, rules, ["/x/a.pdf", "/x/a.pdfz", "/x/a.txt"])
+    assert got == {"/x/a.pdf": False, "/x/a.pdfz": True, "/x/a.txt": True}
+
+
+def test_rep_wildcard_outranks_shorter_allow(spark):
+    # '/doc/*7$' (len 8, disallow) must beat '/doc/12' (len 7, allow)
+    rules = [
+        ("h", "disallow", "/doc/1", None),
+        ("h", "allow", "/doc/12", None),
+        ("h", "disallow", "/doc/*7$", "^/doc/.*7$"),
+    ]
+    got = _rep_verdicts(spark, rules, ["/doc/123", "/doc/127", "/doc/17"])
+    assert got == {"/doc/123": True, "/doc/127": False, "/doc/17": False}
+
+
+def test_rep_unknown_host_default_allow(spark):
+    from pyspark.sql import types as T
+
+    from web_scraper_v1_spark.operators.frontier import apply_robots_rep
+
+    rules = spark.createDataFrame(
+        [("other", "disallow", "/", None)],
+        T.StructType(
+            [
+                T.StructField("host", T.StringType(), False),
+                T.StructField("rule_type", T.StringType(), False),
+                T.StructField("pattern", T.StringType(), False),
+                T.StructField("regex", T.StringType(), True),
+            ]
+        ),
+    )
+    tasks = spark.createDataFrame(
+        [("h", "/x")],
+        T.StructType(
+            [
+                T.StructField("host", T.StringType(), False),
+                T.StructField("path", T.StringType(), False),
+            ]
+        ),
+    )
+    out = apply_robots_rep(tasks, rules).collect()
+    assert out[0]["allowed"] is True
+
+
+def test_rep_plan_broadcast_no_frontier_shuffle(spark):
+    """The rules side broadcasts; the frontier side takes NO exchange for
+    the verdict (the fold is per-row, not a join-explode + regroup)."""
+    from tests.test_plans import SF, plan_of
+
+    from web_scraper_v1_spark import queries as Q
+
+    plan = plan_of(Q.queries()["robots_rep_match"](spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    tree = plan.split("\n\n")[0]
+    # exchanges allowed only under the broadcast (rules) subtree: the
+    # distinct-hosts build; the probe side above the join must be
+    # exchange-free
+    probe_side = tree.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in probe_side, plan

@@ -99,6 +99,63 @@ def apply_robots(tasks: DataFrame, robots: DataFrame | None) -> DataFrame:
     )
 
 
+def apply_robots_rep(
+    tasks: DataFrame,
+    rules: DataFrame,
+    path_col: str = "path",
+) -> DataFrame:
+    """Spec-grade REP matching (RFC 9309 / Google's robots.txt rules):
+    per-host allow/disallow rules with ``*`` wildcards and ``$`` end
+    anchors, precedence = LONGEST pattern wins, allow beats disallow on
+    a length tie. Adds ``allowed`` boolean; no matching rule = allowed.
+
+    ``rules`` schema: (host, rule_type 'allow'|'disallow', pattern,
+    regex nullable) — ``regex`` is the anchored translation for wildcard
+    patterns and NULL for plain prefixes, which take the ``startswith``
+    fast path (pure codegen, no per-row regex compile). Real robots
+    files are overwhelmingly plain prefixes, so at 10^10 URLs the regex
+    slow path only runs for the rare wildcard rules.
+
+    The whole precedence fold is ONE exact-integer max: score =
+    2*len(pattern) + is_allow, verdict = max(score over matching rules)
+    is odd (or no rule matched at all). Rules collapse to ONE array row
+    per host and broadcast, so the frontier side takes a broadcast join
+    plus a per-row fold — ZERO shuffle (a join-explode + re-aggregate
+    shape would shuffle all 10^10 frontier rows to regroup; a per-row
+    fold over a ~4-element rules array costs microseconds instead).
+    The fold is a higher-order function (interpreted, not codegen) — fine
+    here because it runs once per URL over a tiny array, unlike the
+    per-token kernels BENCH.md §3 moved to Arrow.
+    """
+    per_host = rules.groupBy("host").agg(
+        F.collect_list(
+            F.struct(
+                F.col("pattern"),
+                F.col("regex"),
+                (
+                    F.length("pattern") * 2
+                    + (F.col("rule_type") == "allow").cast("int")
+                ).alias("score"),
+            )
+        ).alias("_rules")
+    )
+    joined = tasks.join(F.broadcast(per_host), "host", "left")
+    verdict = F.expr(
+        f"""
+        CASE WHEN _rules IS NULL THEN true
+        ELSE COALESCE(
+          array_max(transform(
+            filter(_rules, r -> CASE WHEN r.regex IS NULL
+                                 THEN startswith({path_col}, r.pattern)
+                                 ELSE {path_col} RLIKE r.regex END),
+            r -> r.score)) % 2 = 1,
+          true)
+        END
+        """
+    )
+    return joined.withColumn("allowed", verdict).drop("_rules")
+
+
 def per_host_topk(
     tasks: DataFrame,
     k: int | None,

@@ -752,6 +752,90 @@ def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "robots_rep_match",
+    f"""
+    WITH u AS (
+      SELECT doc_id, CAST(doc_id % 37 AS INT) AS hn, {_HOST_SQL} AS host,
+             '/doc/' || CAST(doc_id AS VARCHAR) AS path
+      FROM documents
+    ), hosts AS (SELECT DISTINCT hn FROM u),
+    rules AS (
+      SELECT hn, '/doc/1' AS pattern, CAST(NULL AS VARCHAR) AS regex,
+             strlen('/doc/1') * 2 + 0 AS score
+      FROM hosts WHERE hn % 3 = 0
+      UNION ALL
+      SELECT hn, '/doc/12', NULL, strlen('/doc/12') * 2 + 1
+      FROM hosts WHERE hn % 3 = 0
+      UNION ALL
+      SELECT hn, '/doc/*7$', '^/doc/.*7$', strlen('/doc/*7$') * 2 + 0
+      FROM hosts WHERE hn % 4 = 1
+      UNION ALL
+      SELECT hn, '/', NULL, strlen('/') * 2 + 0
+      FROM hosts WHERE hn % 11 = 5
+    ),
+    m AS (
+      SELECT u.doc_id, u.host, r.score
+      FROM u LEFT JOIN rules r
+        ON u.hn = r.hn
+       AND (CASE WHEN r.regex IS NULL THEN starts_with(u.path, r.pattern)
+            ELSE regexp_matches(u.path, r.regex) END)
+    )
+    SELECT doc_id, host,
+           CASE WHEN max(score) IS NULL THEN true
+                ELSE max(score) % 2 = 1 END AS allowed
+    FROM m
+    GROUP BY doc_id, host
+    """,
+)
+def q_robots_rep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-grade REP robots matching (RFC 9309: '*' wildcards, '$' end
+    anchors, longest-pattern-wins, allow beats disallow on a length tie)
+    via operators/frontier.apply_robots_rep — rules collapse to one array
+    row per host and broadcast, the verdict is a per-row exact-integer
+    fold, zero frontier shuffle. The derived rule set exercises every
+    precedence case: a disallow prefix with a LONGER allow carve-out
+    ('/doc/1' vs '/doc/12' on hn%3=0 hosts — /doc/123 stays allowed), a
+    wildcard+anchor rule ('/doc/*7$' on hn%4=1 — ids ending in 7
+    blocked, and it OUTRANKS the allow carve-out on /doc/127), and a
+    blanket '/' disallow (hn%11=5). The oracle replays the fold as a
+    left join + integer max. The prefix-only twin (robots_filter) stays
+    registered as the simple-semantics baseline."""
+    from web_scraper_v1_spark.operators.frontier import apply_robots_rep
+
+    urls = _derived_urls(spark, sf_dir)
+    tasks = urls.withColumn(
+        "path", F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"))
+    )
+    hosts = (
+        urls.select("host")
+        .distinct()
+        .withColumn(
+            "hn", F.regexp_extract("host", r"host(\d+)\.", 1).cast("int")
+        )
+    )
+    null_rx = F.lit(None).cast("string")
+
+    def _rules(cond, rule_type, pattern, regex):
+        return hosts.filter(cond).select(
+            "host",
+            F.lit(rule_type).alias("rule_type"),
+            F.lit(pattern).alias("pattern"),
+            (F.lit(regex) if regex else null_rx).alias("regex"),
+        )
+
+    hn = F.col("hn")
+    rules = (
+        _rules(hn % 3 == 0, "disallow", "/doc/1", None)
+        .unionByName(_rules(hn % 3 == 0, "allow", "/doc/12", None))
+        .unionByName(
+            _rules(hn % 4 == 1, "disallow", "/doc/*7$", "^/doc/.*7$")
+        )
+        .unionByName(_rules(hn % 11 == 5, "disallow", "/", None))
+    )
+    return apply_robots_rep(tasks, rules).select("doc_id", "host", "allowed")
+
+
+@_q(
     "semi_join",
     """
     SELECT c_custkey, c_mktsegment
