@@ -32,6 +32,7 @@ HEADLINE = [
     "url_blocklist_filter",
     "robots_filter",
     "robots_rep_match",
+    "url_trap_detect",
     "link_extract",
     "frontier_growth",
     "host_pagerank",

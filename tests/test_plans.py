@@ -669,3 +669,14 @@ def test_bigram_pairs_lambda_reads_bound_array(spark):
     assert "arr#" in plan, plan
     heads = re.findall(r"transform\(.*?lambdafunction", plan)
     assert heads and not any("split(" in h for h in heads), plan
+
+
+def test_url_trap_detect_single_exchange(spark):
+    """Trap counting and representative ranking share ONE hash exchange
+    on (host, template) — the count window and the rank window must not
+    each repartition."""
+    plan = plan_of(Q.queries()["url_trap_detect"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, plan
+    assert "hashpartitioning(host" in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -836,6 +836,95 @@ def q_robots_rep_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "url_trap_detect",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_HOST_SQL} AS host,
+             CASE WHEN doc_id % 5 = 0
+               THEN '/cal/' || CAST(doc_id % 12 AS VARCHAR)
+                    || '/page?offset=' || CAST(doc_id AS VARCHAR)
+               ELSE '/doc/' || CAST(doc_id AS VARCHAR)
+             END AS path
+      FROM documents
+    ), t AS (
+      SELECT doc_id, host,
+             regexp_replace(
+               regexp_replace(path, '=[^&#]*', '=V', 'g'),
+               '[0-9]+', 'N', 'g') AS template
+      FROM u
+    ), c AS (
+      SELECT doc_id, host, template,
+             CAST(count(*) OVER (PARTITION BY host, template) AS BIGINT)
+               AS n_urls,
+             row_number() OVER (PARTITION BY host, template
+                                ORDER BY doc_id) AS rnk
+      FROM t
+    )
+    SELECT doc_id, host, template, n_urls,
+           n_urls > 8 AS trapped,
+           (NOT n_urls > 8) OR rnk <= 3 AS kept
+    FROM c
+    """,
+)
+def q_url_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection: collapse URLs to structural templates
+    (digit runs -> N, query-param values -> V — the session-id/calendar/
+    pagination signature), count URLs per (host, template), flag
+    templates exceeding a budget as traps, and keep only k=3
+    representatives of each trap so the frontier stops descending into
+    an infinite URL space. One hash exchange on (host, template) carries
+    both the count and the representative rank (a single window
+    partitioning). Skew note: a trap template is hot BY DEFINITION —
+    at 100 TB the production shape is the segment_dedup_hashed pattern
+    (salted two-phase count, then a bounded top-k per trapped template
+    instead of a full rank); registered here in the direct form the
+    oracle can replay exactly. No reference counterpart — the reference
+    crawls a fixed 11-URL list and cannot loop (SURVEY §1)."""
+    d = _t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        _host_col(),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("/cal/"),
+                (F.col("doc_id") % 12).cast("string"),
+                F.lit("/page?offset="),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("/doc/"), F.col("doc_id").cast("string"))
+        )
+        .alias("path"),
+    )
+    t = u.select(
+        "doc_id",
+        "host",
+        F.regexp_replace(
+            F.regexp_replace("path", r"=[^&#]*", "=V"), r"[0-9]+", "N"
+        ).alias("template"),
+    )
+    w = Window.partitionBy("host", "template")
+    c = t.select(
+        "doc_id",
+        "host",
+        "template",
+        F.count("*").over(w).cast("bigint").alias("n_urls"),
+        F.row_number().over(w.orderBy("doc_id")).alias("rnk"),
+    )
+    trapped = F.col("n_urls") > 8
+    return c.select(
+        "doc_id",
+        "host",
+        "template",
+        "n_urls",
+        trapped.alias("trapped"),
+        (~trapped | (F.col("rnk") <= 3)).alias("kept"),
+    )
+
+
+@_q(
     "semi_join",
     """
     SELECT c_custkey, c_mktsegment
