@@ -33,6 +33,7 @@ HEADLINE = [
     "robots_filter",
     "robots_rep_match",
     "url_trap_detect",
+    "aimd_crawl_delay",
     "link_extract",
     "frontier_growth",
     "host_pagerank",

@@ -489,3 +489,38 @@ def test_bloom_prefilter_actually_skips_join_work(spark):
     # all 40k candidates are new; the false-positive slice that reaches the
     # exact join must be small (1<<20 bits / 2k keys -> fpp << 1%)
     assert n_maybe < 400
+
+
+def test_aimd_fold_cap_and_floor(spark):
+    """The AIMD recurrence's saturation branches, forced directly: seven
+    consecutive error rounds must cap at 60 s (1000*2^7 would be 128 s);
+    seven healthy rounds must floor at 100 ms (1000-7*250 would be
+    negative)."""
+    from pyspark.sql import functions as F
+
+    from web_scraper_v1_spark.queries import AIMD_FOLD_SQL
+
+    rows = spark.sql(
+        """
+        SELECT 'all_err' AS host,
+               transform(sequence(0, 6),
+                         r -> struct(cast(r as int) as round,
+                                     cast(10 as bigint) as err_cnt,
+                                     cast(10 as bigint) as fetches))
+                 AS rounds
+        UNION ALL
+        SELECT 'healthy',
+               transform(sequence(0, 6),
+                         r -> struct(cast(r as int) as round,
+                                     cast(0 as bigint) as err_cnt,
+                                     cast(10 as bigint) as fetches))
+        """
+    )
+    got = {
+        r["host"]: r["delays"]
+        for r in rows.select(
+            "host", F.expr(AIMD_FOLD_SQL).alias("delays")
+        ).collect()
+    }
+    assert got["all_err"] == [2000, 4000, 8000, 16000, 32000, 60000, 60000]
+    assert got["healthy"] == [750, 500, 250, 100, 100, 100, 100]

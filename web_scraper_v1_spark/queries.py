@@ -924,6 +924,115 @@ def q_url_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# AIMD recurrence over a round-sorted `rounds` array<struct(round,
+# err_cnt, fetches)>: double on an error round (capped), additive
+# decrease otherwise (floored). Module-level so the unit test can force
+# the cap/floor branches the derived corpus never reaches.
+AIMD_FOLD_SQL = """
+aggregate(
+  rounds,
+  struct(cast(1000 as bigint) as delay,
+         cast(array() as array<bigint>) as out),
+  (acc, r) -> struct(
+    CASE WHEN r.err_cnt * 5 > r.fetches
+      THEN least(acc.delay * 2, cast(60000 as bigint))
+      ELSE greatest(acc.delay - 250, cast(100 as bigint))
+    END,
+    array_append(acc.out,
+      CASE WHEN r.err_cnt * 5 > r.fetches
+        THEN least(acc.delay * 2, cast(60000 as bigint))
+        ELSE greatest(acc.delay - 250, cast(100 as bigint))
+      END)),
+  acc -> acc.out
+)
+"""
+
+
+@_q(
+    "aimd_crawl_delay",
+    f"""
+    WITH RECURSIVE d AS (
+      SELECT CAST(doc_id % 37 AS INT) AS hn,
+             CAST(doc_id % 6 AS INT) AS round,
+             CASE WHEN doc_id % 10 < 3 THEN 1 ELSE 0 END AS err
+      FROM documents
+    ), hosts AS (SELECT DISTINCT hn FROM d),
+    cells AS (
+      SELECT hosts.hn, r.round
+      FROM hosts CROSS JOIN (SELECT unnest(range(6)) AS round) r
+    ), obs AS (
+      SELECT cells.hn, cells.round,
+             COALESCE(sum(d.err), 0) AS err_cnt,
+             COALESCE(count(d.err), 0) AS fetches
+      FROM cells LEFT JOIN d ON d.hn = cells.hn AND d.round = cells.round
+      GROUP BY cells.hn, cells.round
+    ), delays AS (
+      SELECT hn, CAST(-1 AS INT) AS round, CAST(1000 AS BIGINT) AS delay_ms
+      FROM hosts
+      UNION ALL
+      SELECT o.hn, CAST(o.round AS INT),
+             CASE WHEN o.err_cnt * 5 > o.fetches
+               THEN least(delays.delay_ms * 2, 60000)
+               ELSE greatest(delays.delay_ms - 250, 100)
+             END
+      FROM delays JOIN obs o
+        ON o.hn = delays.hn AND o.round = delays.round + 1
+    )
+    SELECT 'host' || CAST(hn AS VARCHAR) || '.example.com' AS host,
+           round, delay_ms
+    FROM delays WHERE round >= 0
+    """,
+)
+def q_aimd_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AIMD politeness controller (the TCP-style feedback loop real
+    schedulers run on top of robots crawl-delay): per host and round,
+    the delay DOUBLES (capped 60 s) when the round's error rate exceeds
+    20% and decreases additively by 250 ms (floored at 100 ms) when
+    healthy. The whole per-host trajectory is ONE fold: observations
+    aggregate to (host, round, err_cnt, fetches) map-side, collapse to
+    a round-indexed array per host (one exchange), and the recurrence
+    runs as an exact-integer ``aggregate`` lambda over that <=6-element
+    array — no per-round join, no iteration driver-side. The oracle
+    replays it as a recursive CTE. Error-rate compare is integer
+    cross-multiplied (err*5 > fetches), so no float ever enters.
+    At 100 TB the state is host-cardinality (millions of rows, not
+    pages), and each round's update is a broadcast-scale table."""
+    d = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 37).cast("int").alias("hn"),
+        (F.col("doc_id") % 6).cast("int").alias("round"),
+        (F.col("doc_id") % 10 < 3).cast("int").alias("err"),
+    )
+    obs = d.groupBy("hn", "round").agg(
+        F.sum("err").alias("err_cnt"), F.count("*").alias("fetches")
+    )
+    cells = (
+        d.select("hn")
+        .distinct()
+        .crossJoin(
+            spark.range(6).select(F.col("id").cast("int").alias("round"))
+        )
+    )
+    full = cells.join(obs, ["hn", "round"], "left").select(
+        "hn",
+        "round",
+        F.coalesce("err_cnt", F.lit(0)).alias("err_cnt"),
+        F.coalesce("fetches", F.lit(0)).alias("fetches"),
+    )
+    per_host = full.groupBy("hn").agg(
+        F.sort_array(
+            F.collect_list(F.struct("round", "err_cnt", "fetches"))
+        ).alias("rounds")
+    )
+    # exact-integer AIMD fold producing the full trajectory array
+    traj = per_host.select("hn", F.expr(AIMD_FOLD_SQL).alias("delays"))
+    return traj.select(
+        F.concat(
+            F.lit("host"), F.col("hn").cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.posexplode("delays").alias("round", "delay_ms"),
+    ).select("host", F.col("round").cast("int").alias("round"), "delay_ms")
+
+
 @_q(
     "semi_join",
     """
