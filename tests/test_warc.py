@@ -175,6 +175,21 @@ def test_binaryfile_ingestion_path(spark, tmp_path):
     assert got == payloads
 
 
+def test_write_warc_dir_roundtrip(spark, tmp_path):
+    """The archive half: encode -> executor-side file write ->
+    binaryFile re-ingest recovers every page exactly."""
+    payloads = {
+        f"http://w.example.com/{i}": f"page {i}".encode() for i in range(30)
+    }
+    segs = W.encode_warc_segments(_pages(spark, payloads), n_segments=5)
+    out = str(tmp_path / "archive")
+    n_files = W.write_warc_dir(segs, out)
+    assert n_files == segs.select("segment_id").distinct().count()
+    recs = W.read_warc_files(spark, out + "/*.warc.gz")
+    got = {r["url"]: bytes(r["payload"]) for r in recs.collect()}
+    assert got == payloads
+
+
 def test_gzip_members_are_independent(spark):
     """Common Crawl's layout contract: every record is its own gzip
     member, so a reader can resync mid-file — gunzip of any suffix

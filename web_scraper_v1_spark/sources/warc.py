@@ -362,6 +362,38 @@ def read_warc_files(spark, path_glob: str, compressed: bool = True) -> DataFrame
     return parse_warc_segments(files, compressed=compressed)
 
 
+def write_warc_dir(segments: DataFrame, out_dir: str) -> int:
+    """Archive segment blobs as real ``seg-<id>.warc.gz`` objects,
+    written EXECUTOR-SIDE (foreachPartition): no segment bytes ever
+    transit the driver, so archiving scales with the cluster exactly
+    like the encode that produced the blobs. Deterministic names keyed
+    by segment_id; returns the number of files written. On a cluster
+    ``out_dir`` is shared storage (the sandbox twin is a local path);
+    writes go through a temp-name + atomic rename so a killed task
+    cannot leave a torn segment visible."""
+    import os
+    import uuid
+
+    def _write(rows) -> None:
+        import os
+        import uuid
+
+        os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            seg, blob = row["segment_id"], bytes(row["warc"])
+            final = os.path.join(out_dir, f"seg-{seg}.warc.gz")
+            tmp = final + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, final)
+
+    os.makedirs(out_dir, exist_ok=True)
+    segments.select("segment_id", "warc").foreachPartition(_write)
+    return len(
+        [n for n in os.listdir(out_dir) if n.endswith(".warc.gz")]
+    )
+
+
 def surt_key(url_col):
     """SURT-style capture-index key (Common Crawl CDX convention):
     host labels reversed and comma-joined, then ')' + path. Pure JVM
