@@ -92,8 +92,14 @@ HEADLINE = [
     "image_neardup_ahash",
     # WARC container layer (Common-Crawl ingestion path)
     "warc_roundtrip",
+    "warc_file_roundtrip",
     "cdx_index",
     "sitemap_extract",
+    # mergeable sketches (frontier-scale distinct/frequency counting)
+    "hll_distinct",
+    "cms_heavy_hitters",
+    # frontier snapshot compaction (Iceberg merge-on-read fold)
+    "frontier_compact",
     "winnow_fingerprint",
     "dedup_stream_batch",
     "decontaminate_hashed",

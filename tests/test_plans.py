@@ -680,3 +680,26 @@ def test_url_trap_detect_single_exchange(spark):
     assert tree.count("Exchange") == 1, plan
     assert "hashpartitioning(host" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_frontier_compact_combinable_agg_no_window(spark):
+    """Snapshot compaction folds latest-state-per-url with a map-side
+    partial max_by AGGREGATE — never a row_number window (which would
+    sort every url's generation run) and never more than the one
+    url-keyed exchange."""
+    plan = plan_of(Q.queries()["frontier_compact"](spark, SF))
+    assert "Window" not in plan, plan
+    assert "partial_max_by" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, plan
+
+
+def test_hll_distinct_sketch_sized_exchanges(spark):
+    """The HLL plan's aggregates are all map-side partial (the exchange
+    carries register rows, never raw keys) and the exact-count
+    comparison side joins back as a BROADCAST."""
+    plan = plan_of(Q.queries()["hll_distinct"](spark, SF))
+    assert "partial_max" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
