@@ -98,3 +98,19 @@ def test_cms_probe_broadcasts_counters(spark):
     )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_cms_unseen_key_reads_zero(spark):
+    """A probe key the build never saw must estimate 0 when its buckets
+    are empty (left join + coalesce) — and never error on missing
+    counter rows."""
+    rows = spark.range(10).select(F.col("id").cast("string").alias("k"))
+    counters = SK.cms_build(rows, F.col("k"))
+    unseen = spark.createDataFrame(
+        [("never-seen-key-xyz",)], "k string"
+    )
+    got = SK.cms_probe(counters, unseen, F.col("k")).collect()
+    assert len(got) == 1
+    # 10 keys in 4x2048 buckets: the odds every one of this key's 4
+    # buckets collides are nil, so min reads an empty bucket -> 0
+    assert got[0]["est_n"] == 0

@@ -160,13 +160,16 @@ def cms_probe(counters: DataFrame, keys: DataFrame, key: Column) -> DataFrame:
     """Estimate every probe key's frequency: min over the d row counters.
     ``counters`` is broadcast (fixed d*w size), so probing N candidate
     keys is one broadcast-hash join + a d-row min per key — the corpus is
-    never touched. Output: probe columns + ``est_n``."""
+    never touched. LEFT join + coalesce(0): a probe key the build never
+    saw may hash into empty buckets, and an empty bucket reads 0 (the
+    correct CMS answer for it), not a dropped row. Output: probe columns
+    + ``est_n``."""
     seeds = F.array([F.lit(i) for i in range(CMS_D)])
     probes = keys.select(
         "*", F.explode(seeds).alias("seed")
     ).select("*", cms_bucket(F.col("seed"), key))
     return (
-        probes.join(F.broadcast(counters), ["seed", "bucket"])
-        .groupBy(*[c for c in keys.columns])
-        .agg(F.min("c").alias("est_n"))
+        probes.join(F.broadcast(counters), ["seed", "bucket"], "left")
+        .groupBy(*keys.columns)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est_n"))
     )
