@@ -114,3 +114,17 @@ def test_cms_unseen_key_reads_zero(spark):
     # 10 keys in 4x2048 buckets: the odds every one of this key's 4
     # buckets collides are nil, so min reads an empty bucket -> 0
     assert got[0]["est_n"] == 0
+
+
+def test_hll_null_keys_ignored(spark):
+    """NULL keys must not corrupt the register state (count-distinct
+    semantics): sketch(with NULLs) == sketch(without)."""
+    clean = _keys(spark, 500)
+    dirty = clean.unionByName(
+        spark.range(3).select(
+            F.lit(None).cast("string").alias("k"), F.lit("g").alias("grp")
+        )
+    )
+    a = SK.hll_registers(clean, F.col("k"), ["grp"])
+    b = SK.hll_registers(dirty, F.col("k"), ["grp"])
+    assert a.exceptAll(b).count() + b.exceptAll(a).count() == 0

@@ -238,3 +238,17 @@ def test_encode_single_exchange_parse_no_shuffle(spark):
     assert tree.count("Exchange") == 1, plan
     assert "hashpartitioning(segment_id" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_write_warc_dir_reused_dir_counts_this_call(spark, tmp_path):
+    """Archiving into a dir holding leftovers from a wider previous run
+    must report THIS call's segment count, not the directory total."""
+    payloads = {f"http://w.example.com/{i}": b"x" for i in range(20)}
+    out = str(tmp_path / "arch")
+    n1 = W.write_warc_dir(
+        W.encode_warc_segments(_pages(spark, payloads), n_segments=8), out
+    )
+    n2 = W.write_warc_dir(
+        W.encode_warc_segments(_pages(spark, payloads), n_segments=5), out
+    )
+    assert (n1, n2) == (8, 5)

@@ -67,7 +67,11 @@ def hll_registers(df: DataFrame, key: Column, groups: list[str]) -> DataFrame:
     Output is <= m rows per group regardless of input size; the groupBy is
     map-side partially aggregated, so at 10^10 rows each task emits at most
     m * (groups per task) rows into the exchange. ``key`` must already be
-    a string column (hash bytes = utf8 of that string in both engines)."""
+    a string column (hash bytes = utf8 of that string in both engines).
+    NULL keys are ignored — count(distinct) semantics; without the filter
+    a NULL would land a phantom reg=NULL register row that inflates the
+    register count while contributing nothing to the harmonic sum."""
+    df = df.filter(key.isNotNull())
     hx = F.md5(key.cast("binary"))
     v = _hex_slice_to_long(hx, HLL_P // 4 + 1, 13)
     rho = F.when(v == 0, F.lit(_RHO_MAX)).otherwise(

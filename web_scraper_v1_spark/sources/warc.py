@@ -367,12 +367,14 @@ def write_warc_dir(segments: DataFrame, out_dir: str) -> int:
     written EXECUTOR-SIDE (foreachPartition): no segment bytes ever
     transit the driver, so archiving scales with the cluster exactly
     like the encode that produced the blobs. Deterministic names keyed
-    by segment_id; returns the number of files written. On a cluster
-    ``out_dir`` is shared storage (the sandbox twin is a local path);
-    writes go through a temp-name + atomic rename so a killed task
-    cannot leave a torn segment visible."""
+    by segment_id; returns the number of segment files THIS call wrote
+    (one per distinct segment_id — counted from the input, not from a
+    directory listing, so archiving into a reused out_dir cannot
+    overcount leftovers). On a cluster ``out_dir`` is shared storage
+    (the sandbox twin is a local path); writes go through a temp-name +
+    atomic rename so a killed task cannot leave a torn segment
+    visible."""
     import os
-    import uuid
 
     def _write(rows) -> None:
         import os
@@ -388,10 +390,12 @@ def write_warc_dir(segments: DataFrame, out_dir: str) -> int:
             os.replace(tmp, final)
 
     os.makedirs(out_dir, exist_ok=True)
-    segments.select("segment_id", "warc").foreachPartition(_write)
-    return len(
-        [n for n in os.listdir(out_dir) if n.endswith(".warc.gz")]
-    )
+    blobs = segments.select("segment_id", "warc").persist()
+    try:
+        blobs.foreachPartition(_write)
+        return blobs.select("segment_id").distinct().count()
+    finally:
+        blobs.unpersist()
 
 
 def surt_key(url_col):
