@@ -927,24 +927,22 @@ def q_url_trap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # AIMD recurrence over a round-sorted `rounds` array<struct(round,
 # err_cnt, fetches)>: double on an error round (capped), additive
-# decrease otherwise (floored). Module-level so the unit test can force
-# the cap/floor branches the derived corpus never reaches.
+# decrease otherwise (floored). The accumulator is the trajectory array
+# itself seeded with the initial delay — the update CASE is stated ONCE
+# and reads the carried state back with element_at(acc, -1), so the
+# carried delay and the emitted trajectory cannot desynchronize; the
+# finisher drops the seed. Module-level so the unit test can force the
+# cap/floor branches the derived corpus never reaches.
 AIMD_FOLD_SQL = """
 aggregate(
   rounds,
-  struct(cast(1000 as bigint) as delay,
-         cast(array() as array<bigint>) as out),
-  (acc, r) -> struct(
+  array(cast(1000 as bigint)),
+  (acc, r) -> array_append(acc,
     CASE WHEN r.err_cnt * 5 > r.fetches
-      THEN least(acc.delay * 2, cast(60000 as bigint))
-      ELSE greatest(acc.delay - 250, cast(100 as bigint))
-    END,
-    array_append(acc.out,
-      CASE WHEN r.err_cnt * 5 > r.fetches
-        THEN least(acc.delay * 2, cast(60000 as bigint))
-        ELSE greatest(acc.delay - 250, cast(100 as bigint))
-      END)),
-  acc -> acc.out
+      THEN least(element_at(acc, -1) * 2, cast(60000 as bigint))
+      ELSE greatest(element_at(acc, -1) - 250, cast(100 as bigint))
+    END),
+  acc -> slice(acc, 2, size(acc) - 1)
 )
 """
 
