@@ -122,6 +122,11 @@ HEADLINE = [
     "dup_span_remove",
     "mixture_token_budget",
     "selection_manifest",
+    # round-5 late additions: link-graph twin signal, redirect chasing,
+    # token-weighted systematic sampling
+    "hits_scores",
+    "redirect_resolve",
+    "sus_sample",
 ]
 
 

@@ -113,3 +113,70 @@ def test_pagerank_star_center_dominates(spark):
     assert got[0] == max(got.values())
     assert got[1] > got[2]  # the hub's one outlink target beats other leaves
     assert abs(sum(got.values()) - 1.0) < 1e-6  # no dangling nodes -> mass conserved
+
+
+def test_hits_bipartite_hub_authority_split(spark):
+    from web_scraper_v1_spark.operators.graph import hits
+
+    # pure hubs {1,2,3} all point at pure authorities {10, 11}; node 10
+    # gets all three hubs, node 11 gets one — auth(10) > auth(11), hubs
+    # carry zero authority, authorities carry zero hub score
+    e = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (1, 11)], "src long, dst long"
+    )
+    got = {r.id: (r.auth, r.hub) for r in hits(e, n_iter=4).collect()}
+    assert got[10][0] > got[11][0] > 0
+    for h in (1, 2, 3):
+        assert got[h][0] == 0.0  # no in-edges -> no authority
+    for a in (10, 11):
+        assert got[a][1] == 0.0  # no out-edges -> no hub score
+    assert got[1][1] > got[2][1]  # 1 links both authorities, 2 just one
+    # L1 normalization: each score family sums to 1 exactly-ish
+    assert abs(sum(a for a, _ in got.values()) - 1.0) < 1e-6
+    assert abs(sum(h for _, h in got.values()) - 1.0) < 1e-6
+
+
+def test_hits_empty_edges_returns_empty(spark):
+    from web_scraper_v1_spark.operators.graph import hits
+
+    e = spark.createDataFrame([], "src long, dst long")
+    assert hits(e, n_iter=3).count() == 0
+
+
+def test_hits_partitioning_invariance(spark):
+    # exact-int quantization + integer-ratio normalization: bit-identical
+    # scores whatever the parallelism of the input
+    from web_scraper_v1_spark.operators.graph import hits
+
+    edges = [(i % 7, (i * 3 + 1) % 7) for i in range(30) if i % 7 != (i * 3 + 1) % 7]
+    e1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    e2 = spark.createDataFrame(edges, "src long, dst long").repartition(13)
+    r1 = {r.id: (r.auth, r.hub) for r in hits(e1, n_iter=4).collect()}
+    r2 = {r.id: (r.auth, r.hub) for r in hits(e2, n_iter=4).collect()}
+    assert r1 == r2  # exact equality, not approx
+
+
+def test_resolve_chains_depth15_in_five_doubling_rounds(spark):
+    from web_scraper_v1_spark.operators.graph import resolve_chains
+
+    # chains u -> u-1 down to the nearest multiple of 16: depth up to 15.
+    # max_rounds=5 only suffices because depth doubles per round (1, 2,
+    # 4, 8, 16) — a one-hop-per-round chase would need 15 rounds, so
+    # passing under this bound PROVES the doubling.
+    m = spark.createDataFrame(
+        [(u, None if u % 16 == 0 else u - 1) for u in range(64)],
+        "url_id long, next_id long",
+    )
+    got = {r.url_id: (r.final_id, r.hops) for r in
+           resolve_chains(m, max_rounds=5).collect()}
+    assert got == {u: ((u // 16) * 16, u % 16) for u in range(64)}
+
+
+def test_resolve_chains_cycle_raises(spark):
+    from web_scraper_v1_spark.operators.graph import resolve_chains
+
+    m = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, None)], "url_id long, next_id long"
+    )
+    with pytest.raises(RuntimeError, match="cycle"):
+        resolve_chains(m, max_rounds=6)

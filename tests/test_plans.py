@@ -703,3 +703,21 @@ def test_hll_distinct_sketch_sized_exchanges(spark):
     assert "partial_max" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_sus_sample_no_single_partition_global_cumsum(spark):
+    """The token-weighted systematic sampler's GLOBAL cumulative sum
+    must ride the two-phase global_prefix_sum (range partition +
+    per-bucket windows + driver offsets), never a global-ORDER-BY
+    window: every Window is hash-partitioned, and the only
+    SinglePartition exchange is the scalar corpus-total aggregate
+    (whose exchange carries one partial-sum row per task — the bm25
+    one-row-stat shape, scale-safe by construction)."""
+    from web_scraper_v1_spark.operators import ordering
+
+    plan = plan_of(Q.queries()["sus_sample"](spark, SF))
+    assert plan.count("SinglePartition") == 1, plan
+    assert "Window" in plan, plan
+    assert "rangepartitioning" in plan, plan  # phase 1 of the prefix sum
+    assert "hashpartitioning(_pid" in plan, plan  # phase 2 windows
+    ordering.release_cached()

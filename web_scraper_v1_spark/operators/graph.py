@@ -167,6 +167,156 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: DataFrame,
+    n_iter: int = 4,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999, public) over a (src, dst)
+    edge list: (id, auth, hub) with L1 normalization per half-step.
+
+    The frontier needs TWO link-graph prioritization signals: PageRank
+    (``pagerank`` above) ranks by incoming endorsement; HITS separates
+    hub quality (pages whose outlinks find good content — crawl these
+    FIRST to grow the frontier fast) from authority quality (pages worth
+    fetching for their own content). A production scheduler crawls
+    high-hub hosts early in a discovery phase and high-authority hosts
+    early in a harvest phase.
+
+    Exactness discipline is the same as ``pagerank``: every
+    order-sensitive sum is an int64 aggregation of per-row
+    ``round(x * 1e9)`` quantizations, and every normalization is a
+    per-row double division of two exact integers — so the result is
+    bit-identical under any partitioning/combine order and the DuckDB
+    oracle replays all iterations exactly. L1 (sum) normalization keeps
+    the scalar an exact integer; the classical L2 norm would need a
+    square root of a sum of doubles, which no exact-integer trick
+    covers.
+
+    Plan shape per iteration: two equi-joins (edges x scores, keyed by
+    src then by dst) each followed by a map-side-combinable integer
+    groupBy, plus a single-row total that broadcasts back (Spark plans a
+    1-row crossJoin as BroadcastNestedLoopJoin — nothing wide moves).
+    Driver-side loop with localCheckpoint keeps lineage flat, as in
+    ``connected_components``."""
+    e = edges.select("src", "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        spark = edges.sparkSession
+        return spark.createDataFrame([], "id long, auth double, hub double")
+    scores = nodes.select(
+        "id", F.lit(0.0).alias("auth"), F.lit(1.0 / n).alias("hub")
+    )
+
+    def _half_step(
+        scores_df: DataFrame, in_col: str, out_col: str, key: str, agg: str
+    ) -> DataFrame:
+        """One HITS half-step: int-quantized sum of ``in_col`` over the
+        edges grouped by ``key`` (dst for authority, src for hub), then
+        L1-normalize into ``out_col``; the other column rides along."""
+        q = (
+            e.join(scores_df, e[agg] == scores_df["id"])
+            .select(
+                F.col(key).alias("id"),
+                F.round(F.col(in_col) * F.lit(1e9)).cast("long").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        total = q.agg(F.sum("s").alias("t"))
+        keep = "hub" if out_col == "auth" else "auth"
+        return (
+            scores_df.join(q, "id", "left")
+            .crossJoin(total)
+            .select(
+                "id",
+                (
+                    F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                    / F.col("t").cast("double")
+                ).alias(out_col),
+                F.col(keep),
+            )
+        )
+
+    try:
+        for _ in range(n_iter):
+            # authority from hubs (sum over in-edges), then hub from the
+            # fresh authorities (sum over out-edges)
+            scores = _half_step(scores, "hub", "auth", "dst", "src")
+            scores = _half_step(
+                scores, "auth", "hub", "src", "dst"
+            ).localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+    return scores.select("id", "auth", "hub")
+
+
+def resolve_chains(
+    mapping: DataFrame,
+    max_rounds: int = 40,
+) -> DataFrame:
+    """Follow every redirect chain to its terminal URL by POINTER
+    DOUBLING: (url_id, final_id, hops) for every row of ``mapping``
+    (url_id, next_id) where ``next_id`` is NULL at chain ends.
+
+    The naive chase joins once per HOP — a 30-hop chain costs 30
+    shuffles of the full 10^10-row frontier. Pointer doubling composes
+    the successor map with ITSELF each round (succ <- succ∘succ), so
+    resolved depth doubles per round and a depth-d chain costs
+    ceil(log2(d)) + 1 joins — 5-6 rounds covers any real redirect chain
+    (crawlers cap follow-depth around 20-30 anyway). Each round is one
+    equi-join of the table with itself keyed by the current successor —
+    the same scale-safe shape as ``connected_components``, and rows
+    whose chain is already resolved compose with a zero-hop identity row
+    (their terminal maps to itself), so there is no branching, no
+    per-row state, and the fixed point is detected from one scalar
+    count. Cycles (a redirect loop) would never drain ``pending``;
+    ``max_rounds`` bounds that, and 2^40 exceeds any finite chain, so
+    hitting the bound IS a loop diagnosis."""
+    cur = mapping.select(
+        F.col("url_id"),
+        F.coalesce(F.col("next_id"), F.col("url_id")).alias("cur"),
+        F.when(F.col("next_id").isNull(), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("hops"),
+        F.col("next_id").isNull().alias("done"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds + 1):
+        if cur.filter(~F.col("done")).limit(1).count() == 0:
+            return cur.select(
+                "url_id", F.col("cur").alias("final_id"), "hops"
+            )
+        nxt = cur.select(
+            F.col("url_id").alias("m_id"),
+            F.col("cur").alias("m_cur"),
+            F.col("hops").alias("m_hops"),
+            F.col("done").alias("m_done"),
+        )
+        cur = (
+            cur.join(nxt, cur["cur"] == nxt["m_id"])
+            .select(
+                "url_id",
+                F.col("m_cur").alias("cur"),
+                (F.col("hops") + F.col("m_hops")).alias("hops"),
+                F.col("m_done").alias("done"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"resolve_chains: not resolved after {max_rounds} doubling rounds "
+        "— the mapping contains a redirect cycle"
+    )
+
+
 def cluster_assignments(
     pairs: DataFrame,
     src: str = "id_a",

@@ -5899,6 +5899,237 @@ def q_frontier_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hits_oracle(n_iter: int = 4) -> str:
+    """Unrolled-CTE HITS replay (same discipline as _pagerank_ctes: each
+    half-step's contribution sum is int64-quantized at 1e-9 before
+    summing, each normalization divides two exact integers, so the only
+    order-sensitive steps are exact in both engines — operators/
+    graph.hits)."""
+    sql = """
+    WITH links AS (
+      SELECT doc_id % 37 AS src, (doc_id * 7 + 1) % 37 AS dst FROM documents
+      UNION ALL
+      SELECT doc_id % 37 AS src, (doc_id * 11 + 2) % 37 AS dst FROM documents
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM links WHERE src <> dst
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+      UNION SELECT DISTINCT dst AS id FROM edges
+    ), nn AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+    ), h0 AS (
+      SELECT id, 1.0 / n AS hub FROM nodes CROSS JOIN nn
+    )"""
+    prev = "h0"
+    for i in range(1, n_iter + 1):
+        sql += f""", ai{i} AS (
+      SELECT e.dst AS id,
+             SUM(CAST(round(p.hub * 1000000000.0) AS BIGINT)) AS s
+      FROM edges e JOIN {prev} p ON p.id = e.src GROUP BY e.dst
+    ), at{i} AS (
+      SELECT SUM(s) AS t FROM ai{i}
+    ), a{i} AS (
+      SELECT nodes.id,
+             CAST(COALESCE(x.s, 0) AS DOUBLE) / CAST(t AS DOUBLE) AS auth
+      FROM nodes CROSS JOIN at{i} LEFT JOIN ai{i} x ON x.id = nodes.id
+    ), hi{i} AS (
+      SELECT e.src AS id,
+             SUM(CAST(round(q.auth * 1000000000.0) AS BIGINT)) AS s
+      FROM edges e JOIN a{i} q ON q.id = e.dst GROUP BY e.src
+    ), ht{i} AS (
+      SELECT SUM(s) AS t FROM hi{i}
+    ), h{i} AS (
+      SELECT nodes.id,
+             CAST(COALESCE(x.s, 0) AS DOUBLE) / CAST(t AS DOUBLE) AS hub
+      FROM nodes CROSS JOIN ht{i} LEFT JOIN hi{i} x ON x.id = nodes.id
+    )"""
+        prev = f"h{i}"
+    return (
+        sql
+        + f"""
+    SELECT a.id AS host,
+           CAST(round(a.auth * 1000000.0) AS BIGINT) AS auth_ppm,
+           CAST(round(h.hub * 1000000.0) AS BIGINT) AS hub_ppm
+    FROM a{n_iter} a JOIN h{n_iter} h ON h.id = a.id
+    """
+    )
+
+
+@_q("hits_scores", _hits_oracle())
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the host link graph (4 iterations, L1
+    normalization) — the SECOND link-graph priority signal next to
+    ``host_pagerank``: a discovery-phase scheduler crawls high-HUB hosts
+    first (their outlinks grow the frontier fastest), a harvest phase
+    crawls high-AUTHORITY hosts (operators/graph.hits; same doc_id % 37
+    graph as link_extract). Exact-int64 contribution sums at 1e-9 and
+    integer-ratio normalizations make all 4 iterations bit-reproducible
+    under any partitioning, so the oracle replays them exactly; output
+    in ppm to stay in integer space end-to-end."""
+    from web_scraper_v1_spark.operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents")
+    links = d.select(
+        (F.col("doc_id") % 37).alias("src"),
+        ((F.col("doc_id") * 7 + 1) % 37).alias("dst"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") % 37).alias("src"),
+            ((F.col("doc_id") * 11 + 2) % 37).alias("dst"),
+        )
+    )
+    edges = links.distinct().filter(F.col("src") != F.col("dst"))
+    scores = hits(edges, n_iter=4)
+    return scores.select(
+        F.col("id").alias("host"),
+        F.round(F.col("auth") * F.lit(1e6)).cast("long").alias("auth_ppm"),
+        F.round(F.col("hub") * F.lit(1e6)).cast("long").alias("hub_ppm"),
+    )
+
+
+_SUS_K = 400  # sample slots (tokens-proportional systematic sampling)
+
+
+@_q(
+    "sus_sample",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS key,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), cums AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (
+               ORDER BY key, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM tok
+    ), tot AS (
+      SELECT SUM(n_tokens) AS t FROM tok
+    ), marks AS (
+      SELECT doc_id, n_tokens, cum,
+        (CASE WHEN {2 * _SUS_K} * cum <= t THEN 0
+              ELSE least({_SUS_K},
+                         ({2 * _SUS_K} * cum - t - 1) // (2 * t) + 1) END
+       - CASE WHEN {2 * _SUS_K} * (cum - n_tokens) <= t THEN 0
+              ELSE least({_SUS_K},
+                         ({2 * _SUS_K} * (cum - n_tokens) - t - 1)
+                         // (2 * t) + 1) END) AS m
+      FROM cums CROSS JOIN tot
+    )
+    SELECT doc_id, n_tokens, cum, CAST(m AS BIGINT) AS multiplicity
+    FROM marks WHERE m > 0
+    """,
+)
+def q_sus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted SYSTEMATIC sampling (stochastic universal sampling,
+    Baker 1987, public): place K=_SUS_K equally-spaced marks on the
+    cumulative token axis in seeded md5 order and emit each document
+    with the number of marks its token interval covers — sampling
+    documents proportional to token count WITHOUT replacement-noise,
+    the epoch-subsampling rule a token-budgeted training mix wants
+    (complement of ``mixture_token_budget``'s greedy per-source fill:
+    SUS draws a fixed-size spread across the WHOLE corpus). Everything
+    is exact int64 arithmetic — mark j sits at ((2j+1)*T) div (2K) and
+    the per-doc multiplicity is a closed-form difference of two integer
+    mark-counts, no RNG state, no doubles — so the oracle replays
+    membership and multiplicities bit-exactly.
+
+    The global cumulative sum does NOT use a global-ORDER-BY window (a
+    SinglePartition sort at 10^10 rows): it reuses the engine's
+    ``operators/ordering.global_prefix_sum`` — range-partition on the
+    md5 order key, per-partition rows-frame windows in parallel, and
+    ONE long per partition to the driver for the exclusive offsets (the
+    same primitive that sequences the crawl trace). Plan-asserted: no
+    SinglePartition stage anywhere (tests/test_plans.py). int64
+    headroom: 2K*T overflows past T ~ 1.1e13 tokens at K=400 — at that
+    scale the mark arithmetic moves to decimal(38,0), noted here so the
+    limit is explicit rather than silent."""
+    from web_scraper_v1_spark.operators import ordering
+
+    d = _t(spark, sf_dir, "documents")
+    k = _SUS_K
+    # previous call's range-partitioned frame is no longer reachable —
+    # same release-on-entry discipline as operators/dedup._shingles_cached
+    ordering.release_cached()
+    tok = d.select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("key"),
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    )
+    seq = ordering.global_prefix_sum(
+        tok, ("key", "doc_id"), F.col("n_tokens"), "cum_prev"
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+
+    def _marks_below(col: str) -> str:
+        # j in [0, K) with mark_j < x  <=>  (2j+1)*T < 2Kx; closed form
+        # with pure integer ops (div = floor for the positive operands)
+        return (
+            f"CASE WHEN {2 * k} * {col} <= t THEN CAST(0 AS BIGINT) "
+            f"ELSE least(CAST({k} AS BIGINT), "
+            f"({2 * k} * {col} - t - 1) div (2 * t) + 1) END"
+        )
+
+    return (
+        seq.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.col("cum_prev") + F.col("n_tokens"))
+        .withColumn(
+            "multiplicity",
+            F.expr(
+                f"CAST({_marks_below('cum')} - {_marks_below('cum_prev')} "
+                "AS BIGINT)"
+            ),
+        )
+        .filter(F.col("multiplicity") > 0)
+        .select("doc_id", "n_tokens", "cum", "multiplicity")
+    )
+
+
+@_q(
+    "redirect_resolve",
+    """
+    WITH RECURSIVE hop AS (
+      SELECT doc_id AS u,
+             CASE WHEN doc_id % 16 = 0 THEN NULL
+                  ELSE doc_id - 1 END AS nxt
+      FROM documents
+    ), chase AS (
+      SELECT u AS url_id, u AS cur, CAST(0 AS BIGINT) AS hops FROM hop
+      UNION ALL
+      SELECT c.url_id, h.nxt AS cur, c.hops + 1 AS hops
+      FROM chase c JOIN hop h ON h.u = c.cur
+      WHERE h.nxt IS NOT NULL
+    )
+    SELECT c.url_id, c.cur AS final_id, c.hops
+    FROM chase c JOIN hop h ON h.u = c.cur
+    WHERE h.nxt IS NULL
+    """,
+)
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution — every crawl frontier must collapse
+    3xx alias chains to their terminal URL before dedup/seen-set checks
+    (the reference's live fetch follows redirects inside net/http;
+    a DataFrame frontier resolves them as data). Chains derive
+    deterministically from doc_id (u -> u-1 until u % 16 == 0: depth up
+    to 15, the realistic cap region — crawlers abort past ~20 hops).
+    The Spark side resolves by POINTER DOUBLING (operators/
+    graph.resolve_chains): ceil(log2(depth))+1 self-joins instead of
+    one join per hop, so a 10^10-row frontier with 30-hop chains costs
+    6 shuffles, not 30; the DuckDB oracle chases the same chains with a
+    recursive CTE and both report (terminal url, exact hop count)."""
+    from web_scraper_v1_spark.operators.graph import resolve_chains
+
+    d = _t(spark, sf_dir, "documents")
+    mapping = d.select(
+        F.col("doc_id").alias("url_id"),
+        F.when(F.col("doc_id") % 16 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("doc_id") - 1)
+        .alias("next_id"),
+    )
+    return resolve_chains(mapping)
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
