@@ -123,10 +123,13 @@ HEADLINE = [
     "mixture_token_budget",
     "selection_manifest",
     # round-5 late additions: link-graph twin signal, redirect chasing,
-    # token-weighted systematic sampling
+    # token-weighted systematic sampling, public-suffix politeness keys,
+    # stored-positional-index phrase serving
     "hits_scores",
     "redirect_resolve",
     "sus_sample",
+    "etld1_extract",
+    "phrase_search",
 ]
 
 

@@ -721,3 +721,20 @@ def test_sus_sample_no_single_partition_global_cumsum(spark):
     assert "rangepartitioning" in plan, plan  # phase 1 of the prefix sum
     assert "hashpartitioning(_pid" in plan, plan  # phase 2 windows
     ordering.release_cached()
+
+
+def test_phrase_search_probe_prunes_term_partitions(spark):
+    """The phrase probe must touch only the queried terms' inverted
+    lists: the stored postings are partitionBy(term) parquet, so the
+    scan's PartitionFilters carry the term predicate (partition pruning,
+    not a full-index read), and the corpus text column never appears in
+    the probe plan — query-time serving reads the index, not the
+    documents."""
+    df = Q.queries()["phrase_search"](spark, SF)
+    plan = plan_of(df)
+    assert "PartitionFilters:" in plan, plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "term" in pf, plan
+    # probe never rescans the corpus: no documents.parquet scan, no text
+    assert "documents.parquet" not in plan
+    assert "text" not in plan.split("== Physical Plan ==")[-1]

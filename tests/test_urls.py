@@ -212,3 +212,60 @@ def test_rep_plan_broadcast_no_frontier_shuffle(spark):
     # exchange-free
     probe_side = tree.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in probe_side, plan
+
+
+PSL_CASES = [
+    # (host, public_suffix, registered_domain)
+    ("example.com", "com", "example.com"),
+    ("www.shop.co.uk", "co.uk", "shop.co.uk"),
+    ("a.b.github.io", "github.io", "b.github.io"),
+    # wildcard rule '*.ck': any single label under ck is itself a suffix
+    ("foo.ck", "foo.ck", None),
+    ("bar.foo.ck", "foo.ck", "bar.foo.ck"),
+    # exception rule '!www.ck' shrinks the wildcard match by one label
+    ("www.ck", "ck", "www.ck"),
+    ("deep.school.k12.tx.us", "k12.tx.us", "school.k12.tx.us"),
+    # no rule matches -> default public suffix is the last label
+    ("unknownhost.zz", "zz", "unknownhost.zz"),
+    # host IS a public suffix -> no registered domain
+    ("com", "com", None),
+    ("co.uk", "co.uk", None),
+]
+
+
+def test_psl_extract_rule_kinds(spark):
+    """publicsuffix.org semantics: plain rules, '*.' wildcard, '!'
+    exception, longest-match precedence, default single-label suffix,
+    NULL registered_domain when the host IS a suffix."""
+    df = spark.createDataFrame(
+        [(h,) for h, _, _ in PSL_CASES], "host string"
+    )
+    got = {
+        r["host"]: (r["public_suffix"], r["registered_domain"])
+        for r in U.psl_extract(df).collect()
+    }
+    assert len(got) == len(PSL_CASES)
+    for host, ps, rd in PSL_CASES:
+        assert got[host] == (ps, rd), (host, got[host], (ps, rd))
+
+
+def test_psl_extract_broadcasts_rules_single_agg(spark):
+    """Plan shape: the rule table is the ONLY broadcast, and the single
+    exchange is the hash-partitioned partial aggregation on the row key
+    (no rejoin of the input, no SinglePartition)."""
+    from tests.test_plans import plan_of
+
+    df = spark.createDataFrame(
+        [(h,) for h, _, _ in PSL_CASES], "host string"
+    )
+    plan = plan_of(U.psl_extract(df))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
+    tree = plan.split("\n\n")[0]
+    n_exch = sum(
+        1
+        for ln in tree.splitlines()
+        if "Exchange (" in ln and "BroadcastExchange" not in ln
+    )
+    assert n_exch == 1, plan

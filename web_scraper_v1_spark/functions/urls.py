@@ -62,6 +62,116 @@ def path(url: Column) -> Column:
     return F.when(m == "", F.lit("")).when(p == "", F.lit("/")).otherwise(p)
 
 
+# Public-Suffix-List-style rule set (publicsuffix.org algorithm, public
+# spec): plain rules match their own labels, '*.' rules match any single
+# label in the starred position, '!' exception rules override and shrink
+# the match by one label. The list here is a deterministic fixture subset
+# exercising all three rule kinds; production swaps in the full PSL dump
+# (~9k rules — still broadcast-trivial).
+PSL_RULES = [
+    "com",
+    "org",
+    "net",
+    "uk",
+    "co.uk",
+    "jp",
+    "ac.jp",
+    "io",
+    "github.io",
+    "us",
+    "tx.us",
+    "k12.tx.us",
+    "*.ck",
+    "!www.ck",
+]
+
+
+def psl_extract(df, host_col: str = "host", key_cols=("host",),
+                rules=None):
+    """Public suffix + registered domain (eTLD+1) per row of ``df``,
+    keyed by ``key_cols`` — the grouping a polite crawler actually needs
+    (per-REGISTERED-DOMAIN budgets; 'a.github.io' and 'b.github.io' are
+    different sites, 'www.shop.co.uk' and 'shop.co.uk' are the same).
+    The reference schedules per raw hostname only
+    (/root/reference/internal/scraper/service.go worker loop).
+
+    Plan (scale story first): hosts have <= ~5 labels, so each row emits
+    at most 2*min(n_labels, max_rule_labels) candidate suffix strings
+    (exact last-k + wildcard '*.'+last-(k-1)); candidates equi-join the
+    broadcast rule table (exact keys and '*.' keys are disjoint string
+    spaces, so ONE hash join covers all three rule kinds), and one
+    map-side-combinable groupBy per key applies PSL precedence
+    (exception beats all, else longest rule, else default 1 label). No
+    rejoin to the input: the host string rides through the aggregate and
+    is re-split for the final slice. One shuffle total, rule table
+    broadcast, everything whole-stage-codegen Column ops."""
+    rules = PSL_RULES if rules is None else rules
+    rows = []
+    for rule in rules:
+        if rule.startswith("!"):
+            key, kind = rule[1:], "e"
+        elif rule.startswith("*."):
+            key, kind = rule, "w"
+        else:
+            key, kind = rule, "n"
+        rows.append((key, kind, len(key.split("."))))
+    rule_df = df.sparkSession.createDataFrame(
+        rows, "key string, kind string, rl int"
+    )
+    kmax = max(r[2] for r in rows)
+
+    key_cols = list(key_cols)
+    lab = (
+        df.select(*key_cols, F.col(host_col).alias("_h"))
+        .withColumn("_l", F.split("_h", r"\."))
+        .withColumn("_n", F.size("_l"))
+    )
+    k = F.col("_k")
+    n = F.col("_n")
+    exact = F.array_join(F.slice("_l", n - k + F.lit(1), k), ".")
+    wild = F.when(
+        k >= 2,
+        F.concat(
+            F.lit("*."),
+            F.array_join(F.slice("_l", n - k + F.lit(2), k - F.lit(1)), "."),
+        ),
+    )
+    cand = (
+        lab.withColumn(
+            "_k",
+            F.explode(F.sequence(F.lit(1), F.least(n, F.lit(kmax)))),
+        )
+        .withColumn("_c", F.explode(F.array(exact, wild)))
+        .where(F.col("_c").isNotNull())
+    )
+    matched = cand.join(
+        F.broadcast(rule_df), cand["_c"] == rule_df["key"], "left"
+    )
+    agg = matched.groupBy(*key_cols).agg(
+        F.max("_h").alias("_h"),
+        F.max("_n").alias("_n"),
+        F.max(F.when(F.col("kind") == "e", F.col("rl") - 1)).alias("_exc"),
+        F.max(F.when(F.col("kind") != "e", F.col("rl"))).alias("_norm"),
+    )
+    psl = F.coalesce("_exc", "_norm", F.lit(1))
+    relab = agg.withColumn("_l", F.split("_h", r"\.")).withColumn(
+        "_ps", psl.cast("int")
+    )
+    n = F.col("_n")
+    ps = F.col("_ps")
+    return relab.select(
+        *key_cols,
+        F.col("_h").alias(host_col),
+        F.array_join(F.slice("_l", n - ps + F.lit(1), ps), ".").alias(
+            "public_suffix"
+        ),
+        F.when(
+            n > ps,
+            F.array_join(F.slice("_l", n - ps, ps + F.lit(1)), "."),
+        ).alias("registered_domain"),
+    )
+
+
 def url_hash(canonical_url: Column) -> Column:
     """64-bit frontier key: xxhash64 of the canonical URL (north rule:
     'canonicalized URL -> xxhash64'). Collision note: at 10^10 URLs the
