@@ -130,6 +130,11 @@ HEADLINE = [
     "sus_sample",
     "etld1_extract",
     "phrase_search",
+    # round-5 late additions: fleet-resize shard map, IP-level politeness,
+    # size-balanced output shards
+    "rendezvous_shard",
+    "ip_politeness_cap",
+    "shard_balance_snake",
 ]
 
 

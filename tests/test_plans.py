@@ -738,3 +738,26 @@ def test_phrase_search_probe_prunes_term_partitions(spark):
     # probe never rescans the corpus: no documents.parquet scan, no text
     assert "documents.parquet" not in plan
     assert "text" not in plan.split("== Physical Plan ==")[-1]
+
+
+def test_rendezvous_shard_zero_shuffle(spark):
+    """HRW assignment is a per-row array expression: the whole query
+    (both the W=16 and W=20 argmaxes) must compile to a single scan
+    stage with NO exchange of any kind."""
+    df = Q.queries()["rendezvous_shard"](spark, SF)
+    plan = plan_of(df)
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, plan
+    assert "Generate" not in tree, plan  # no explode either
+
+
+def test_shard_balance_no_single_partition(spark):
+    """The global size rank must ride the two-phase prefix sum: range
+    partitioning for the total order, never a SinglePartition window."""
+    from web_scraper_v1_spark.operators import ordering
+
+    df = Q.queries()["shard_balance_snake"](spark, SF)
+    plan = plan_of(df).lower()
+    assert "singlepartition" not in plan, plan
+    assert "rangepartitioning" in plan, plan
+    ordering.release_cached()

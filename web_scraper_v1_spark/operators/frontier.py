@@ -206,3 +206,59 @@ def per_host_topk(
     if overflow is not None:
         out = out.unionByName(overflow)
     return out
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    key_col: str,
+    n_workers: int,
+    out_col: str = "worker",
+) -> DataFrame:
+    """Highest-random-weight (rendezvous / HRW) assignment of each row's
+    ``key_col`` to one of ``n_workers`` — the host-to-fetcher shard map a
+    crawl fleet needs when the fleet RESIZES. The reference distributes
+    work by whoever dequeues next (/root/reference/internal/taskqueue/
+    queue.go:52-61, any worker takes any task), which scatters a host's
+    fetches across the fleet and defeats per-host connection reuse and
+    politeness accounting; a sharded fleet instead pins each host to one
+    worker. The naive pin ``hash(key) % W`` remaps ~(W-1)/W of ALL keys
+    when W changes; HRW (Thaler & Ravishankar 1998, the public algorithm
+    behind consistent-hashing fleets) moves only the keys whose argmax
+    weight now lands on a new worker — an expected W_new-W_old / W_new
+    fraction — and every moved key lands on a NEW worker, never shuffled
+    between survivors.
+
+    Zero-shuffle by construction: the argmax over workers is a per-row
+    array expression — ``array_max(transform(sequence(0, W-1), w ->
+    struct(weight(key, w), -w)))`` — entirely inside whole-stage codegen;
+    no explode, no join, no exchange (plan-gated in tests/test_plans.py).
+    The weight is the engine-portable 48-bit md5 nibble fold
+    (``conv(md5(key || ':' || w)[:12], 16, 10)``; ties break to the
+    smallest worker via the negated-worker struct field) so a DuckDB
+    oracle replays the assignment bit-exactly. W is a constant — a fetch
+    fleet is O(10^3) — so the cost is W md5 calls per key, evaluated once
+    per DISTINCT key upstream in production (the host table, not the URL
+    table); fleets with W large enough to hurt use the same paper's
+    skeleton-tree variant.
+    """
+    key = F.col(key_col)
+    best = F.array_max(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_workers - 1)),
+            lambda w: F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(key, F.lit(":"), w.cast("string"))),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("wt"),
+                (-w).alias("nw"),
+            ),
+        )
+    )
+    return df.withColumn(out_col, (-best["nw"]).cast("int"))

@@ -36,7 +36,11 @@ from web_scraper_v1_spark.functions.multimodal import (
 from web_scraper_v1_spark.operators import dedup as DD
 from web_scraper_v1_spark.operators import similarity as SIM
 from web_scraper_v1_spark.operators import sketches as SK
-from web_scraper_v1_spark.operators.frontier import per_host_topk, prepare_seeds
+from web_scraper_v1_spark.operators.frontier import (
+    per_host_topk,
+    prepare_seeds,
+    rendezvous_assign,
+)
 from web_scraper_v1_spark.operators.seen import SeenSet
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -6321,6 +6325,217 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return _match(phrases[0]).unionByName(_match(phrases[1]))
+
+
+@_q(
+    "rendezvous_shard",
+    """
+    WITH hosts AS (
+      SELECT doc_id, 'host' || CAST(doc_id % 97 AS VARCHAR) AS host
+      FROM documents
+    ),
+    cand AS (
+      SELECT doc_id, host, w,
+             CAST(list_sum(CAST(
+               [ (strpos('0123456789abcdef',
+                     substring(md5(host || ':' || CAST(w AS VARCHAR)),
+                               i, 1)) - 1)
+                 * CAST(16 ** (12 - i) AS BIGINT)
+                 FOR i IN range(1, 13) ] AS BIGINT[])) AS BIGINT) AS wt
+      FROM hosts, range(0, 20) r(w)
+    ),
+    w16 AS (
+      SELECT doc_id, CAST(w AS INT) AS worker_before
+      FROM cand WHERE w < 16
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY wt DESC, w) = 1
+    ),
+    w20 AS (
+      SELECT doc_id, CAST(w AS INT) AS worker_after
+      FROM cand
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY wt DESC, w) = 1
+    )
+    SELECT h.doc_id, h.host, worker_before, worker_after,
+           worker_before <> worker_after AS moved
+    FROM hosts h JOIN w16 USING (doc_id) JOIN w20 USING (doc_id)
+    """,
+)
+def q_rendezvous_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) host-to-worker sharding under a fleet RESIZE —
+    16 fetch workers grow to 20, and the row reports each host's
+    assignment before/after plus whether it moved. The reference has no
+    shard map at all (any worker dequeues any task, /root/reference/
+    internal/taskqueue/queue.go:52-61); a 1000-executor crawl needs
+    hosts pinned to workers for connection reuse and politeness
+    accounting, and pinning must survive fleet resizes without a global
+    remap. HRW guarantees exactly that: only ~4/20 of keys move, and
+    every mover lands on one of the NEW workers (both properties
+    pytest-gated in tests/test_sharding.py).
+
+    Scale plan (operators/frontier.rendezvous_assign): the argmax over
+    workers is a per-row transform+array_max column expression — zero
+    shuffle, zero join, zero explode, whole-stage codegen end to end
+    (the plan gate asserts NO exchange in the whole query). The oracle
+    replays the 48-bit md5-nibble-fold weights and both argmaxes in
+    DuckDB bit-exactly."""
+    d = _t(spark, sf_dir, "documents")
+    hosts = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("host"), (F.col("doc_id") % 97).cast("string")
+        ).alias("host"),
+    )
+    a = rendezvous_assign(hosts, "host", 16, "worker_before")
+    a = rendezvous_assign(a, "host", 20, "worker_after")
+    return a.select(
+        "doc_id",
+        "host",
+        "worker_before",
+        "worker_after",
+        (F.col("worker_before") != F.col("worker_after")).alias("moved"),
+    )
+
+
+@_q(
+    "ip_politeness_cap",
+    f"""
+    WITH wave AS (
+      SELECT {_HOST_SQL} AS host, doc_id
+      FROM documents
+      QUALIFY row_number() OVER (PARTITION BY {_HOST_SQL}
+                                 ORDER BY doc_id) <= 3
+    ),
+    ips AS (
+      SELECT host, doc_id,
+             '10.0.' || CAST(
+               CAST(list_sum(CAST(
+                 [ (strpos('0123456789abcdef',
+                       substring(md5(host), i, 1)) - 1)
+                   * CAST(16 ** (4 - i) AS BIGINT)
+                   FOR i IN range(1, 5) ] AS BIGINT[])) AS BIGINT) % 41
+               AS VARCHAR) AS ip
+      FROM wave
+    )
+    SELECT ip, host, doc_id FROM ips
+    QUALIFY row_number() OVER (PARTITION BY ip ORDER BY doc_id) <= 4
+    """,
+)
+def q_ip_politeness_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level politeness: the per-HOST wave (k=3) is then capped per
+    resolved IP ADDRESS (k=4) — the CDN / shared-hosting case the raw
+    hostname budget misses entirely (a thousand *.github.io sites are
+    one origin server; hammering 50 of them "politely" is still 150
+    concurrent fetches at one IP). The reference keys all pacing on the
+    hostname alone (/root/reference/internal/scraper/service.go worker
+    loop). The IP here is a deterministic md5-nibble fold of the host
+    (%41) standing in for the resolver cache — the real resolver output
+    joins in identically (a per-host table, broadcastable at any scale
+    since IPs are per HOST, not per URL).
+
+    Scale plan: BOTH cap levels run through the same salted two-phase
+    ``per_host_topk`` window (phase 1 bounds any hot key's exact window
+    to k*salt rows), so a mega-CDN IP holding 10^6 hosts cannot funnel
+    its pending set through one task — the same skew defense the host
+    level already has, reused by renaming the partition key. The oracle
+    replays host wave, nibble-fold IP, and IP cap in one statement."""
+    urls = _derived_urls(spark, sf_dir)
+    frontier = urls.select(
+        "host",
+        F.col("doc_id").alias("queue_seq"),
+        U.url_hash(F.col("url")).alias("url_hash"),
+        "doc_id",
+    )
+    wave = per_host_topk(frontier, k=3, salt_buckets=4).filter(
+        F.col("selected")
+    )
+    ip = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 4), 16, 10).cast(
+            "long"
+        )
+        % 41
+    )
+    staged = wave.select(
+        F.concat(F.lit("10.0."), ip.cast("string")).alias("host"),
+        F.col("host").alias("site"),
+        "queue_seq",
+        "url_hash",
+        "doc_id",
+    )
+    capped = per_host_topk(staged, k=4, salt_buckets=4).filter(
+        F.col("selected")
+    )
+    return capped.select(
+        F.col("host").alias("ip"),
+        F.col("site").alias("host"),
+        "doc_id",
+    )
+
+
+@_q(
+    "shard_balance_snake",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+      FROM tok
+    ),
+    s AS (
+      SELECT CASE WHEN rk % 16 < 8 THEN rk % 16
+                  ELSE 15 - (rk % 16) END AS shard,
+             n_tokens
+      FROM r
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+    FROM s GROUP BY shard
+    """,
+)
+def q_shard_balance_snake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIZE-balanced output sharding — docs ranked by token count
+    descending are dealt to 8 shards in snake (boustrophedon) order
+    (0..7, 7..0, ...), the classic greedy-LPT surrogate whose per-shard
+    token totals differ by at most one document's tokens (pytest-gated
+    in tests/test_sharding.py). ``epoch_reshuffle``/``sequence_packing``
+    shard by seeded hash, which balances COUNTS; a 100 TB tokenized
+    dump wants equal-TOKEN shards so no trainer reads a straggler file
+    — this is the write-side twin of the packer.
+
+    Scale plan: the global size rank is NOT a global-ORDER-BY window (a
+    SinglePartition sort at 10^10 rows) — it reuses
+    ``operators/ordering.global_prefix_sum`` (range-partition on the
+    (-tokens, doc_id) key, per-partition rows-frame windows, ONE long
+    per partition to the driver), the same primitive under the crawl
+    trace and ``sus_sample``; plan-gated: no SinglePartition stage. The
+    final rollup is an 8-group map-side-combinable aggregate."""
+    from web_scraper_v1_spark.operators import ordering
+
+    d = _t(spark, sf_dir, "documents")
+    ordering.release_cached()
+    tok = d.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tokens"),
+    ).withColumn("_inv", -F.col("n_tokens"))
+    ranked = ordering.global_prefix_sum(
+        tok, ("_inv", "doc_id"), F.lit(1), "rk"
+    )
+    pos = F.col("rk") % 16
+    shard = F.when(pos < 8, pos).otherwise(15 - pos).cast("int")
+    return (
+        ranked.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens_total"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
