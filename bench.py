@@ -135,6 +135,9 @@ HEADLINE = [
     "rendezvous_shard",
     "ip_politeness_cap",
     "shard_balance_snake",
+    # round-5 late additions: distributed tokenizer training + encode
+    "bpe_train_merges",
+    "bpe_encode",
 ]
 
 

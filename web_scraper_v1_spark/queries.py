@@ -6538,6 +6538,147 @@ def q_shard_balance_snake(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_MERGES = 6
+
+
+def _bpe_vocab_ctes(k: int) -> str:
+    """The BPE training chain as DuckDB CTEs: vocab0 is the one corpus
+    scan collapsed to (word, freq, char symbol string); each round r
+    recomputes adjacent-pair counts, picks the (count DESC, a, b) argmax,
+    and merges it with a literal left-to-right replace — the exact loop
+    operators/bpe.train_bpe_merges runs on Spark."""
+    parts = [
+        """
+    WITH vocab0 AS (
+      SELECT w AS word, count(*) AS freq,
+             array_to_string([substring(w, i, 1)
+                              FOR i IN range(1, len(w) + 1)], ' | ') AS sym
+      FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+')) AS w
+            FROM documents)
+      WHERE len(w) >= 1
+      GROUP BY w
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+    pairs{r} AS (
+      SELECT l[i] AS a, l[i + 1] AS b, SUM(freq) AS c
+      FROM (SELECT freq, string_split(sym, ' | ') AS l FROM vocab{r - 1}),
+           UNNEST(range(1, len(l))) t(i)
+      GROUP BY 1, 2
+    ),
+    best{r} AS (
+      SELECT a, b, c FROM pairs{r} ORDER BY c DESC, a, b LIMIT 1
+    ),
+    vocab{r} AS (
+      SELECT word, freq, replace(sym, a || ' | ' || b, a || b) AS sym
+      FROM vocab{r - 1}, best{r}
+    )"""
+        )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(k: int) -> str:
+    sel = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS merge_round, a AS left_sym, b AS right_sym,"
+        f" CAST(c AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, k + 1)
+    )
+    return _bpe_vocab_ctes(k) + "\n" + sel
+
+
+# corpus plan -> (merge rows, final vocab frame) learned THIS process —
+# bpe_encode reuses bpe_train_merges's chain instead of re-paying it
+# (the _POSTINGS_INDEX_CACHE discipline)
+_BPE_CACHE: dict[int, tuple[DataFrame, list, DataFrame]] = {}
+
+
+def _bpe_trained(d: DataFrame):
+    from web_scraper_v1_spark.operators import bpe
+
+    key = d.semanticHash()
+    hit = _BPE_CACHE.get(key)
+    if hit is not None and d.sameSemantics(hit[0]):
+        return hit[1], hit[2]
+    merges, vocab = bpe.train_bpe_merges(d, num_merges=_BPE_MERGES)
+    _BPE_CACHE[key] = (d, merges, vocab)
+    return merges, vocab
+
+
+@_q("bpe_train_merges", _bpe_train_oracle(_BPE_MERGES))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training ON the corpus (Sennrich et al. 2016, the
+    public subword algorithm) — the merge table a training pipeline
+    learns before it can token-count, pack, or budget anything. The
+    reference stores raw text only; a 100 TB corpus cannot be funneled
+    through a single-node trainer, so the trainer IS a query: one
+    corpus scan collapses 10^13 corpus tokens to the 10^7-10^8-row
+    weighted vocabulary, then each round is a map-side-combinable
+    adjacent-pair count over the vocab plus TakeOrdered(1) — ONE row to
+    the driver per round, the k-means/PageRank per-round-scalar
+    discipline (operators/bpe.py). Merge application is a literal
+    left-to-right ``replace`` on the ' | '-joined symbol string —
+    bit-identical in both engines, so the oracle replays all 6 rounds
+    exactly, ties and all. Pytest additionally matches the whole table
+    against an independent pure-Python BPE (tests/test_bpe.py) and
+    gates the best-pair-count-is-non-increasing invariant."""
+    d = _t(spark, sf_dir, "documents")
+    merges, _ = _bpe_trained(d)
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string,"
+        " pair_count long",
+    )
+
+
+@_q(
+    "bpe_encode",
+    _bpe_vocab_ctes(_BPE_MERGES)
+    + f"""
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(sym, ' | '))) AS BIGINT)
+             AS n_subwords
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(trim(lower(text)),
+                                              '\\s+')) AS w
+          FROM documents) toks
+    JOIN vocab{_BPE_MERGES} v ON v.word = toks.w
+    GROUP BY doc_id
+    """,
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding with the learned merges — the n_subwords-per-document
+    count that token budgeting and sequence packing would consume if
+    the pipeline's unit were subwords instead of whitespace tokens.
+    The scale shape is the point: encoding does NOT re-run merges over
+    documents — each word's final symbol string already sits in the
+    trained vocabulary, so encoding is ONE broadcast join from the
+    exploded corpus to the vocab (word -> subword count) and a per-doc
+    sum; the merge chain itself is reused from ``bpe_train_merges``
+    via the plan-keyed cache (never re-trained in the same session).
+    The oracle replays the full 6-round chain plus the join."""
+    d = _t(spark, sf_dir, "documents")
+    _, vocab = _bpe_trained(d)
+    counts = vocab.select(
+        "word",
+        F.size(F.split(F.col("sym"), r" \| ")).alias("ns"),
+    )
+    toks = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("word")
+    ).where(F.length("word") >= 1)
+    return (
+        toks.join(F.broadcast(counts), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("ns").cast("long").alias("n_subwords"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
