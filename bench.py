@@ -135,9 +135,11 @@ HEADLINE = [
     "rendezvous_shard",
     "ip_politeness_cap",
     "shard_balance_snake",
-    # round-5 late additions: distributed tokenizer training + encode
+    # round-5 late additions: distributed tokenizer training + encode,
+    # link-spam demotion
     "bpe_train_merges",
     "bpe_encode",
+    "host_trustrank",
 ]
 
 

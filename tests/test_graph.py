@@ -180,3 +180,40 @@ def test_resolve_chains_cycle_raises(spark):
     )
     with pytest.raises(RuntimeError, match="cycle"):
         resolve_chains(m, max_rounds=6)
+
+
+def test_trustrank_demotes_untrusted_mass(spark):
+    """Personalized teleport must concentrate stationary mass on the
+    trusted seeds: hosts OUTSIDE the seed set hold strictly less total
+    mass under TrustRank than under uniform PageRank on the SAME graph,
+    and every trusted seed's trust exceeds its untrusted-average."""
+    from web_scraper_v1_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    tr = {r["host"]: (r["trust_ppm"], r["trusted"]) for r in
+          Q.queries()["host_trustrank"](spark, sf).collect()}
+    pr = {r["host"]: r["rank_ppm"] for r in
+          Q.queries()["host_pagerank"](spark, sf).collect()}
+    assert set(tr) == set(pr)
+    untrusted_tr = sum(v for v, t in tr.values() if not t)
+    untrusted_pr = sum(pr[h] for h, (_, t) in tr.items() if not t)
+    assert untrusted_tr < untrusted_pr, (untrusted_tr, untrusted_pr)
+    trusted_vals = [v for v, t in tr.values() if t]
+    untrusted_vals = [v for v, t in tr.values() if not t]
+    assert min(trusted_vals) > sum(untrusted_vals) / len(untrusted_vals)
+
+
+def test_trustrank_teleport_none_unchanged(spark):
+    """The teleport parameter must not perturb the uniform path: classic
+    pagerank() output is bit-identical with the parameter defaulted."""
+    from web_scraper_v1_spark.operators.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(a, (a * 3 + 1) % 11) for a in range(11)] +
+        [(a, (a * 7 + 2) % 11) for a in range(11)],
+        "src long, dst long",
+    ).where("src <> dst")
+    r1 = {r["id"]: r["rank"] for r in pagerank(e, n_iter=4).collect()}
+    r2 = {r["id"]: r["rank"] for r in
+          pagerank(e, n_iter=4, teleport=None).collect()}
+    assert r1 == r2

@@ -96,8 +96,17 @@ def pagerank(
     edges: DataFrame,
     n_iter: int = 5,
     damping: float = 0.85,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a (src, dst) edge list: (id, rank).
+
+    ``teleport`` personalizes the random jump: a (id, t) frame whose t
+    sums to 1 (nodes absent from it jump with probability 0). With it
+    this is TrustRank (Gyongyi et al. 2004, the public link-spam
+    demotion algorithm): mass teleports only to the trusted seed set,
+    so spam farms far from any seed drain toward zero no matter how
+    densely they interlink. None keeps the uniform 1/n jump — classic
+    PageRank, bit-identical to before the parameter existed.
 
     The per-edge contribution ``rank/out_deg`` is rounded to an int64 at
     1e-9 resolution BEFORE the per-destination sum. That makes the only
@@ -130,7 +139,23 @@ def pagerank(
     outd = e.groupBy("src").agg(
         F.count("*").cast("double").alias("out_deg")
     )
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    if teleport is None:
+        # uniform jump: the per-node teleport column is the constant 1/n
+        nodes_t = nodes.withColumn("t", F.lit(1.0 / n)).persist()
+    else:
+        nodes_t = (
+            nodes.join(teleport.select("id", "t"), "id", "left")
+            .select("id", F.coalesce(F.col("t"), F.lit(0.0)).alias("t"))
+            .persist()
+        )
+    ranks = nodes_t.select("id", F.col("t").alias("rank"))
+    # uniform branch keeps the EXACT pre-teleport expression
+    # ((1-d)/n as ONE python double) so existing oracles stay
+    # bit-identical; the personalized branch scales the per-node t
+    if teleport is None:
+        base = F.lit((1 - damping) / n)
+    else:
+        base = F.lit(1 - damping) * F.col("t")
     try:
         for _ in range(n_iter):
             contrib = (
@@ -147,11 +172,11 @@ def pagerank(
             )
             incoming = contrib.groupBy("id").agg(F.sum("c").alias("s"))
             ranks = (
-                nodes.join(incoming, "id", "left")
+                nodes_t.join(incoming, "id", "left")
                 .select(
                     "id",
                     (
-                        F.lit((1 - damping) / n)
+                        base
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("s"), F.lit(0)).cast("double")
@@ -164,6 +189,7 @@ def pagerank(
     finally:
         e.unpersist()
         nodes.unpersist()
+        nodes_t.unpersist()
     return ranks
 
 

@@ -6679,6 +6679,101 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trustrank_oracle(n_iter: int = 5) -> str:
+    """Unrolled personalized-PageRank replay: same edge convention and
+    int64-quantized contributions as ``_pagerank_ctes``, but the jump
+    vector is concentrated on the trusted seed hosts (id % 7 == 0) —
+    each iteration's base term is 0.15 * t(v) instead of 0.15 / n."""
+    sql = """
+    WITH links AS (
+      SELECT doc_id % 37 AS src, (doc_id * 7 + 1) % 37 AS dst FROM documents
+      UNION ALL
+      SELECT doc_id % 37 AS src, (doc_id * 11 + 2) % 37 AS dst FROM documents
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM links WHERE src <> dst
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+      UNION SELECT DISTINCT dst AS id FROM edges
+    ), tm AS (
+      SELECT CAST(count(*) AS DOUBLE) AS m FROM nodes WHERE id % 7 = 0
+    ), tr AS (
+      SELECT id, CASE WHEN id % 7 = 0 THEN 1.0 / m ELSE 0.0 END AS t
+      FROM nodes CROSS JOIN tm
+    ), outd AS (
+      SELECT src, CAST(count(*) AS DOUBLE) AS out_deg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT id, t AS r FROM tr
+    )"""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        sql += f""", c{i} AS (
+      SELECT e.dst AS id,
+             SUM(CAST(round(p.r / o.out_deg * 1000000000.0) AS BIGINT)) AS s
+      FROM edges e JOIN {prev} p ON p.id = e.src JOIN outd o ON o.src = e.src
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT tr.id,
+             (1 - 0.85) * tr.t
+             + 0.85 * (CAST(COALESCE(c{i}.s, 0) AS DOUBLE) / 1000000000.0)
+               AS r
+      FROM tr LEFT JOIN c{i} ON c{i}.id = tr.id
+    )"""
+        prev = f"r{i}"
+    return (
+        sql
+        + f"""
+    SELECT id AS host,
+           CAST(round(r * 1000000.0) AS BIGINT) AS trust_ppm,
+           id % 7 = 0 AS trusted
+    FROM {prev}
+    """
+    )
+
+
+@_q("host_trustrank", _trustrank_oracle())
+def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank (Gyongyi et al. 2004, the public link-spam demotion
+    algorithm) over the same host graph as ``host_pagerank``: the
+    random jump teleports ONLY to a trusted seed whitelist (hosts
+    id % 7 == 0 here; a real crawl seeds from a human-reviewed list),
+    so link farms far from any seed drain toward zero trust however
+    densely they interlink — the signal that keeps a frontier from
+    being steered by SEO spam, which raw PageRank rewards. Same
+    scale/determinism story as pagerank: per-iteration equi-join +
+    map-side-combinable INT64 contribution sum (bit-reproducible under
+    any shuffle order), driver sees one scalar per round, and the
+    oracle replays all 5 personalized iterations exactly. Spam-demotion
+    property pytest-gated in tests/test_graph.py: untrusted hosts'
+    total trust mass strictly below their uniform-PageRank mass."""
+    from web_scraper_v1_spark.operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    links = d.select(
+        (F.col("doc_id") % 37).alias("src"),
+        ((F.col("doc_id") * 7 + 1) % 37).alias("dst"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") % 37).alias("src"),
+            ((F.col("doc_id") * 11 + 2) % 37).alias("dst"),
+        )
+    )
+    edges = links.distinct().filter(F.col("src") != F.col("dst"))
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    trusted = nodes.filter(F.col("id") % 7 == 0)
+    m = trusted.count()
+    tele = trusted.withColumn("t", F.lit(1.0) / F.lit(float(m)))
+    ranks = pagerank(edges, n_iter=5, damping=0.85, teleport=tele)
+    return ranks.select(
+        F.col("id").alias("host"),
+        F.round(F.col("rank") * F.lit(1e6)).cast("long").alias("trust_ppm"),
+        (F.col("id") % 7 == 0).alias("trusted"),
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
