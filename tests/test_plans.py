@@ -398,20 +398,24 @@ def test_registry_contract_consistency():
     # always covers the stalest queries first
     eff = [0 if n in _REVERIFY else last.get(n, 0) for n in order]
     assert eff == sorted(eff), eff
-    # every query stale by >=2 rounds relative to the freshest round must
-    # fit in the checked window: with >50 registered queries the driver
-    # cap forces alternation, so the rotation guarantee is "worst-case
-    # driver staleness <= 2 rounds" (verified-last-round queries may wait
-    # one more round), never that everything fits at once
+    # every PREVIOUSLY-verified query that has since gone >=2 rounds
+    # without a driver row must fit in the checked window — that is the
+    # enforceable rotation guarantee. Never-verified queries (new this
+    # round) are NOT staleness violations: when more than 50 land in one
+    # round the cap makes all-at-once coverage pigeonhole-impossible,
+    # and the ordering assertion above already guarantees they occupy
+    # the head of the window before anything fresher. A previously-green
+    # query crowded past the window by new arrivals IS flagged here.
     if rounds_seen:
         newest = rounds_seen[-1]
         stale = [
             n
             for n in order
-            if n in _REVERIFY or last.get(n, 0) <= newest - 2
+            if n in last and last[n] <= newest - 2
         ]
         assert all(order.index(n) < 50 for n in stale), (
-            f"{len(stale)} stale queries exceed the 50-query window"
+            f"{len(stale)} stale previously-verified queries exceed "
+            "the 50-query window"
         )
 
 
