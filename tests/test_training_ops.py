@@ -950,3 +950,25 @@ def test_ahash_64_pixel_geometry_fits_int64():
     # bit 63 was set and the signed reinterpretation fits int64
     assert bits < 0
     assert -(1 << 63) <= bits < (1 << 63)
+
+
+def test_mojibake_repair_roundtrip(spark):
+    # Every pair is derived: clean.utf8 bytes decoded as cp1252 == moji.
+    for moji, clean in TX.MOJIBAKE_PAIRS:
+        assert clean.encode("utf-8").decode("cp1252") == moji
+        assert moji != clean
+    clean = "café déjà — naïve’s résumé"
+    bad = clean.encode("utf-8").decode("cp1252")
+    df = spark.createDataFrame(
+        [(1, bad), (2, clean), (3, "plain ascii only")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.fixed
+        for r in df.select(
+            "doc_id", TX.repair_mojibake(F.col("text")).alias("fixed")
+        ).collect()
+    }
+    assert out[1] == clean          # damage repaired byte-exactly
+    assert out[2] == clean          # already-clean text untouched
+    assert out[3] == "plain ascii only"

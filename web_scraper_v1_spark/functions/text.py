@@ -234,3 +234,39 @@ def winnow_fingerprints(
         return pd.Series(out)
 
     return _winnow(text)
+
+
+# UTF-8-bytes-misread-as-cp1252 mojibake pairs (the ftfy-canon repair,
+# public algorithm: each clean char's UTF-8 byte sequence, decoded as
+# cp1252, yields its mojibake form — derived, not hand-typed, so the
+# table cannot drift). Extend the char list to widen coverage; chars
+# whose UTF-8 bytes hit cp1252's five undefined codepoints (0x81 0x8D
+# 0x8F 0x90 0x9D, e.g. RIGHT DOUBLE QUOTATION MARK) cannot round-trip
+# and are excluded by construction.
+_MOJIBAKE_CHARS = ("é", "à", "—", "ï", "ü", "ñ", "’")
+MOJIBAKE_PAIRS: tuple[tuple[str, str], ...] = tuple(
+    (c.encode("utf-8").decode("cp1252"), c) for c in _MOJIBAKE_CHARS
+)
+
+
+def repair_mojibake(text: Column) -> Column:
+    """Chained literal replaces, longest-first registration order fixed
+    by the pair table — pure whole-stage-codegen Column ops, zero
+    shuffle, and the identical nest is replayable as SQL ``replace``
+    nesting (mojibake_sql_expr) so the oracle is exact."""
+    out = text
+    for moji, clean in MOJIBAKE_PAIRS:
+        out = F.replace(out, F.lit(moji), F.lit(clean))
+    return out
+
+
+def mojibake_sql_expr(inner: str) -> str:
+    """The same repair chain as DuckDB SQL text over expression
+    ``inner`` — generated from MOJIBAKE_PAIRS, the single source of
+    truth."""
+    expr = inner
+    for moji, clean in MOJIBAKE_PAIRS:
+        expr = "replace({}, '{}', '{}')".format(
+            expr, moji.replace("'", "''"), clean.replace("'", "''")
+        )
+    return expr

@@ -6774,6 +6774,63 @@ def q_host_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOJI_CLEAN = " café déjà — naïve’s züñi résumé"
+_MOJI_BAD = _MOJI_CLEAN.encode("utf-8").decode("cp1252")
+
+
+def _mojibake_oracle() -> str:
+    inner = (
+        "text || CASE WHEN doc_id % 5 = 0 THEN '{}' ELSE '{}' END".format(
+            _MOJI_BAD.replace("'", "''"), _MOJI_CLEAN.replace("'", "''")
+        )
+    )
+    return """
+    SELECT doc_id,
+           t <> r AS was_mojibake,
+           right(r, {n}) AS tail_fixed
+    FROM (SELECT doc_id, {inner} AS t, {repair} AS r FROM documents)
+    """.format(
+        n=len(_MOJI_CLEAN),
+        inner=inner,
+        repair=TX.mojibake_sql_expr(inner),
+    )
+
+
+@_q("mojibake_fix", _mojibake_oracle())
+def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair — the ftfy-canon cleanup for the web's most
+    common encoding damage, UTF-8 bytes mis-decoded as cp1252 ('é'
+    shipped as 'Ã©'): crawled pages routinely declare one charset and
+    serve another, and a training corpus keeps the damage forever if
+    the pipeline doesn't repair it (the reference stores extracted
+    bytes as-is, /root/reference/internal/scraper/service.go). The
+    pair table is DERIVED (each clean char's UTF-8 bytes decoded as
+    cp1252 — functions/text.MOJIBAKE_PAIRS), never hand-typed, and the
+    fixture corrupts every 5th document with the same round-trip, so
+    repaired text must equal the clean form exactly — byte equality
+    checked by the oracle on the non-ASCII tail itself, not a proxy.
+
+    Scale shape: a chain of literal ``replace`` Column ops — zero
+    shuffle, zero UDF, whole-stage codegen, and the identical nest is
+    emitted as SQL text from the same table (single source of truth)
+    for the DuckDB replay. Adding languages is appending to a char
+    list."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_MOJI_BAD)).otherwise(
+            F.lit(_MOJI_CLEAN)
+        ),
+    )
+    r = TX.repair_mojibake(t)
+    n = len(_MOJI_CLEAN)
+    return d.select(
+        "doc_id",
+        (t != r).alias("was_mojibake"),
+        F.substring(r, -n, n).alias("tail_fixed"),
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
