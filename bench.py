@@ -66,6 +66,11 @@ HEADLINE = [
     "quality_percentiles",
     "repetition_stats",
     "pii_scrub",
+    "mojibake_fix",
+    "script_detect",
+    "soft404_detect",
+    "wfq_schedule",
+    "focused_crawl_priority",
     "fingerprint_md5",
     "dedup_exact",
     "bm25_score",

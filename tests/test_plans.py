@@ -765,3 +765,43 @@ def test_shard_balance_no_single_partition(spark):
     assert "singlepartition" not in plan, plan
     assert "rangepartitioning" in plan, plan
     ordering.release_cached()
+
+
+def test_script_detect_zero_shuffle(spark):
+    """Script classification is per-row regex arithmetic in-scan: the
+    plan must contain no Exchange at all and stay in codegen."""
+    plan = plan_of(Q.queries()["script_detect"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, plan
+    # '*' prefixes mark operators fused into a WholeStageCodegen stage
+    assert "codegen id" in plan, plan
+
+
+def test_wfq_schedule_single_host_exchange(spark):
+    """WFQ's only exchange is the per-host cumulative window; wave
+    assignment is arithmetic — no global sort, no SinglePartition."""
+    plan = plan_of(Q.queries()["wfq_schedule"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, plan
+    assert "hashpartitioning(host" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_soft404_count_join_copartitioned(spark):
+    """The dup-count aggregate and the join back must share the ONE
+    (host, body-hash) exchange per side with a map-side partial count —
+    the counted side re-uses the same key so no extra repartition of
+    the probe stream appears."""
+    plan = plan_of(Q.queries()["soft404_detect"](spark, SF))
+    assert "partial_count" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") <= 2, plan
+
+
+def test_focused_crawl_topic_broadcast(spark):
+    """The topic lexicon joins the exploded anchor words as a broadcast
+    hash join — the word stream must never shuffle for lexicon lookup."""
+    plan = plan_of(Q.queries()["focused_crawl_priority"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -6831,6 +6831,359 @@ def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "soft404_detect",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {_HOST_SQL} AS host,
+             CASE WHEN doc_id % 7 = 3
+               THEN 'Error 404 - the page you requested was not found '
+                    || 'on this server.'
+               ELSE text END AS body
+      FROM documents
+    ), s AS (
+      SELECT doc_id, host, md5(body) AS bh,
+             regexp_matches(lower(body),
+               '(page (you requested )?was not found|error 404|'
+               || 'no longer available|does not exist)') AS has_phrase
+      FROM b
+    ), c AS (
+      SELECT host, bh, CAST(count(*) AS BIGINT) AS dup_n
+      FROM s GROUP BY host, bh
+    )
+    SELECT s.doc_id, s.host, c.dup_n, s.has_phrase,
+           (s.has_phrase AND c.dup_n >= 2) AS soft404
+    FROM s JOIN c ON c.host = s.host AND c.bh = s.bh
+    """,
+)
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection — pages that return HTTP 200 but are error
+    bodies, the classic crawl-corpus poison (Bar-Yossef et al., WWW'04
+    "Sic transit gloria telae", public): a host that answers every dead
+    URL with the same templated "not found" page inflates the corpus
+    with thousands of identical junk documents that an HTTP-status
+    filter can never catch. Two independent signals, both required:
+    (1) an error-phrase match in the body, and (2) body-template
+    collapse — the SAME body hash served for >= 2 distinct URLs of one
+    host (fixture: every doc_id % 7 == 3 page serves the host's
+    templated error body). Phrase-only pages (a legitimate article
+    ABOUT 404 errors) and duplicate-only pages (mirrored content,
+    handled by the dedup family) are both kept. Reference parity: the
+    Go engine stores whatever the server returns (service.go persists
+    any 2xx body); soft-404 screening is the corpus-hygiene extension.
+
+    100 TB shape: md5 computed in-scan, ONE exchange on the composite
+    (host, body-hash) key with map-side partial count, then an equi-join
+    back on the same key — co-partitioned by construction, no second
+    shuffle of the counted side. The count table is |distinct bodies|,
+    orders of magnitude smaller than the corpus. A mega-template (one
+    error body served by a CDN across millions of URLs) lands its count
+    on one reducer ONLY as a (key, n) pair — partial aggregation means
+    the skew cost is bounded by partition count, not row count."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        _host_col(),
+        F.when(
+            F.col("doc_id") % 7 == 3,
+            F.lit(
+                "Error 404 - the page you requested was not found "
+                "on this server."
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("body"),
+    )
+    s = b.select(
+        "doc_id",
+        "host",
+        F.md5(F.col("body")).alias("bh"),
+        F.lower(F.col("body"))
+        .rlike(
+            "(page (you requested )?was not found|error 404|"
+            "no longer available|does not exist)"
+        )
+        .alias("has_phrase"),
+    )
+    c = s.groupBy("host", "bh").agg(F.count("*").cast("long").alias("dup_n"))
+    return s.join(c, ["host", "bh"]).select(
+        "doc_id",
+        "host",
+        "dup_n",
+        "has_phrase",
+        (F.col("has_phrase") & (F.col("dup_n") >= 2)).alias("soft404"),
+    )
+
+
+@_q(
+    "wfq_schedule",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_HOST_SQL} AS host,
+             (doc_id % 37) % 3 + 1 AS weight,
+             n_chars AS cost
+      FROM documents
+    ), c AS (
+      SELECT doc_id, host, weight, cost,
+             sum(cost) OVER (PARTITION BY host ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum_cost,
+             sum(cost) OVER (PARTITION BY host ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)
+               * (6 // weight) AS finish6
+      FROM u
+    )
+    SELECT doc_id, host, CAST(weight AS BIGINT) AS weight,
+           CAST(cum_cost AS BIGINT) AS cum_cost,
+           CAST(finish6 AS BIGINT) AS finish6,
+           CAST((finish6 + 23999) // 24000 AS BIGINT) AS wave
+    FROM c
+    """,
+)
+def q_wfq_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted fair queueing over the fetch frontier — virtual-finish-
+    time scheduling (Demers/Keshav/Shenker 1989, public) adapted to
+    crawl politeness: each host is a flow with weight w in {1,2,3}
+    (priority tier), each URL a packet whose "size" is its expected
+    fetch cost (bytes). A URL's virtual finish time is the host's
+    cumulative cost up to it divided by the host weight, so a 3x-weight
+    host drains 3x the bytes per unit of virtual time while a one-page
+    host is never starved behind a heavy host's backlog — the fairness
+    property the existing priority_wave (static rank) and
+    aimd_crawl_delay (rate feedback) queries don't give. Exact-integer
+    throughout: weights {1,2,3} all divide 6, so finish6 = cum_cost *
+    (6 div w) is the finish time scaled by 6 with zero FP division, and
+    the dispatch wave is ceiling integer division by the quantum
+    (6 x 4000 cost units per virtual tick).
+
+    100 TB shape: the ONLY exchange is the per-host cumulative-sum
+    window (hash-partitioned by host — exactly the politeness
+    partitioning every other wave query already uses); wave assignment
+    is per-row arithmetic, so the global schedule order (wave, host)
+    needs NO SinglePartition sort — executors fetch wave k's URLs by
+    partition-local filter. Host skew is the frontier's intrinsic skew,
+    bounded by the same per-host caps as per_host_wave. Reference
+    parity: the Go engine drains a FIFO with a global rate gate
+    (dispatcher.go); WFQ is the multi-tenant-fairness extension."""
+    d = _t(spark, sf_dir, "documents")
+    u = d.select(
+        "doc_id",
+        _host_col(),
+        ((F.col("doc_id") % 37) % 3 + 1).alias("weight"),
+        F.col("n_chars").alias("cost"),
+    )
+    w = Window.partitionBy("host").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = u.withColumn("cum_cost", F.sum("cost").over(w)).withColumn(
+        "finish6", F.col("cum_cost") * F.expr("6 div weight")
+    )
+    return c.select(
+        "doc_id",
+        "host",
+        F.col("weight").cast("long").alias("weight"),
+        F.col("cum_cost").cast("long").alias("cum_cost"),
+        F.col("finish6").cast("long").alias("finish6"),
+        F.expr("(finish6 + 23999) div 24000").cast("long").alias("wave"),
+    )
+
+
+@_q(
+    "focused_crawl_priority",
+    """
+    WITH anchors(aid, phrase) AS (
+      VALUES (0,'click here'),(1,'read more'),(2,'official site'),
+             (3,'home page'),(4,'next page'),(5,'download'),
+             (6,'reference docs'),(7,'details')
+    ), edges AS (
+      SELECT 'http://host' || CAST((doc_id*7+1)%37 AS VARCHAR)
+               || '.example.com/doc/' || CAST((doc_id*3+1)%10 AS VARCHAR)
+               AS url,
+             (doc_id*13)%8 AS aid
+      FROM documents
+      UNION ALL
+      SELECT 'http://host' || CAST((doc_id*11+2)%37 AS VARCHAR)
+               || '.example.com/doc/' || CAST((doc_id*5+2)%10 AS VARCHAR),
+             (doc_id*13+1)%8
+      FROM documents
+    ), ea AS (
+      SELECT url, phrase FROM edges JOIN anchors ON anchors.aid = edges.aid
+    ), topic(term) AS (
+      VALUES ('official'),('reference'),('docs'),('download')
+    ), w AS (
+      SELECT url, unnest(string_split(phrase, ' ')) AS word FROM ea
+    ), hits AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS topic_hits
+      FROM w JOIN topic ON w.word = topic.term GROUP BY url
+    ), inl AS (
+      SELECT url, CAST(count(*) AS BIGINT) AS inlinks FROM ea GROUP BY url
+    ), r AS (
+      SELECT inl.url AS url,
+             regexp_extract(inl.url, 'http://([^/]+)', 1) AS thost,
+             inlinks, COALESCE(topic_hits, 0) AS topic_hits
+      FROM inl LEFT JOIN hits ON hits.url = inl.url
+    )
+    SELECT url, thost, inlinks, topic_hits,
+           CAST(row_number() OVER (PARTITION BY thost
+                ORDER BY topic_hits DESC, url) AS BIGINT) AS rnk,
+           (row_number() OVER (PARTITION BY thost
+                ORDER BY topic_hits DESC, url) <= 3
+            AND topic_hits > 0) AS fetch_now
+    FROM r
+    """,
+)
+def q_focused_crawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl frontier prioritization (Chakrabarti et al. 1999,
+    public): rank each undiscovered URL by the topical relevance of the
+    ANCHOR TEXT its inbound links carry — the only evidence a crawler
+    has about a page before fetching it. Per frontier URL: inbound-link
+    count, topic-term hits (anchor words joined against a topic lexicon),
+    and a per-target-host rank; `fetch_now` marks the top-3 topical URLs
+    of each host, the politeness-respecting dispatch set. Reference
+    parity: the Go engine extracts links but dispatches FIFO
+    (parser.go, dispatcher.go); focused prioritization is the
+    topical-crawl extension built on the same extracted edges.
+
+    100 TB shape: the topic lexicon is a VALUES relation — broadcast
+    hash join against the exploded anchor words, never a shuffle; both
+    per-URL aggregations exchange once on the url key with map-side
+    partial combine (anchor word lists are 1-3 tokens, so the exploded
+    edge stream is ~2x the edge count); the dispatch rank windows on
+    target-host — the SAME politeness partitioning every wave query
+    uses, so the frontier never sees a SinglePartition. At real scale
+    the lexicon generalizes to a broadcast embedding table and the
+    rank's ORDER BY to a learned score — the plan shape is unchanged."""
+    d = _t(spark, sf_dir, "documents")
+    ea = _anchor_edges(d)
+    wds = ea.select("url", F.explode(F.split("anchor", " ")).alias("word"))
+    topic = spark.createDataFrame(
+        [("official",), ("reference",), ("docs",), ("download",)],
+        "term string",
+    )
+    hits = (
+        wds.join(F.broadcast(topic), wds.word == topic.term)
+        .groupBy("url")
+        .agg(F.count("*").cast("long").alias("topic_hits"))
+    )
+    inl = ea.groupBy("url").agg(F.count("*").cast("long").alias("inlinks"))
+    r = inl.join(hits, "url", "left").select(
+        "url",
+        F.regexp_extract("url", "http://([^/]+)", 1).alias("thost"),
+        "inlinks",
+        F.coalesce("topic_hits", F.lit(0)).cast("long").alias("topic_hits"),
+    )
+    win = Window.partitionBy("thost").orderBy(
+        F.desc("topic_hits"), F.asc("url")
+    )
+    return r.select(
+        "url",
+        "thost",
+        "inlinks",
+        "topic_hits",
+        F.row_number().over(win).cast("long").alias("rnk"),
+        (
+            (F.row_number().over(win) <= 3) & (F.col("topic_hits") > 0)
+        ).alias("fetch_now"),
+    )
+
+
+_SCRIPT_SNIPPETS = ("привет мир", "你好世界", "مرحبا بالعالم", "")
+
+
+def _script_oracle() -> str:
+    cases = " ".join(
+        "WHEN {} THEN '{}'".format(i, s)
+        for i, s in enumerate(_SCRIPT_SNIPPETS)
+        if s
+    )
+    return """
+    WITH t AS (
+      SELECT doc_id,
+             text || ' ' || CASE doc_id % 4 {cases} ELSE '' END AS body
+      FROM documents
+    ), n AS (
+      SELECT doc_id,
+        length(regexp_replace(body, '[^A-Za-z]', '', 'g')) AS latin_n,
+        length(regexp_replace(body, '[^\\p{{Cyrillic}}]', '', 'g'))
+          AS cyr_n,
+        length(regexp_replace(body, '[^\\p{{Han}}]', '', 'g')) AS han_n,
+        length(regexp_replace(body, '[^\\p{{Arabic}}]', '', 'g'))
+          AS arab_n
+      FROM t
+    )
+    SELECT doc_id, CAST(latin_n AS BIGINT) AS latin_n,
+           CAST(cyr_n AS BIGINT) AS cyr_n,
+           CAST(han_n AS BIGINT) AS han_n,
+           CAST(arab_n AS BIGINT) AS arab_n,
+           CASE WHEN han_n > 0 AND han_n >= cyr_n AND han_n >= arab_n
+                  THEN 'han'
+                WHEN cyr_n > 0 AND cyr_n >= arab_n THEN 'cyrillic'
+                WHEN arab_n > 0 THEN 'arabic'
+                ELSE 'latin' END AS script
+    FROM n
+    """.format(cases=cases)
+
+
+@_q("script_detect", _script_oracle())
+def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script detection — the writing-system classifier that
+    gates which language-ID model / tokenizer a multilingual corpus
+    pipeline routes a page to (CLD-style first stage, public): count
+    characters per Unicode script property (Latin, Cyrillic, Han,
+    Arabic) and pick the dominant non-Latin script, falling back to
+    Latin. Distinct from lang_id (word-list n-gram voting over Latin
+    text): script detection is byte-class evidence that works on
+    languages the word lists don't cover and is the standard pre-filter
+    before them. Fixture: every doc gets a script-tagged suffix by
+    doc_id % 4 (Cyrillic / Han / Arabic / none), so all four outcomes
+    are exercised deterministically.
+
+    100 TB shape: pure per-row regexp_replace + length over the corpus
+    scan — zero shuffle, zero UDF, whole-stage codegen; the regex
+    engine's Unicode property tables do the per-char classification
+    JVM-side (Java \\p{{IsCyrillic}} == RE2 \\p{{Cyrillic}}, asserted
+    equal by the oracle hash over every row). Adding scripts is adding
+    count columns. Reference parity: the Go engine stores text with no
+    script/charset audit (service.go); this is the corpus-hygiene
+    extension alongside mojibake_fix."""
+    d = _t(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _SCRIPT_SNIPPETS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    body = F.concat(F.col("text"), F.lit(" "), suffix)
+
+    def cnt(cls: str):
+        return F.length(F.regexp_replace(body, f"[^{cls}]", ""))
+
+    n = d.select(
+        "doc_id",
+        cnt("A-Za-z").alias("latin_n"),
+        cnt(r"\p{IsCyrillic}").alias("cyr_n"),
+        cnt(r"\p{IsHan}").alias("han_n"),
+        cnt(r"\p{IsArabic}").alias("arab_n"),
+    )
+    return n.select(
+        "doc_id",
+        F.col("latin_n").cast("long").alias("latin_n"),
+        F.col("cyr_n").cast("long").alias("cyr_n"),
+        F.col("han_n").cast("long").alias("han_n"),
+        F.col("arab_n").cast("long").alias("arab_n"),
+        F.when(
+            (F.col("han_n") > 0)
+            & (F.col("han_n") >= F.col("cyr_n"))
+            & (F.col("han_n") >= F.col("arab_n")),
+            F.lit("han"),
+        )
+        .when(
+            (F.col("cyr_n") > 0) & (F.col("cyr_n") >= F.col("arab_n")),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("arab_n") > 0, F.lit("arabic"))
+        .otherwise(F.lit("latin"))
+        .alias("script"),
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
