@@ -69,6 +69,7 @@ HEADLINE = [
     "mojibake_fix",
     "script_detect",
     "soft404_detect",
+    "canonical_select",
     "wfq_schedule",
     "focused_crawl_priority",
     "fingerprint_md5",

@@ -805,3 +805,13 @@ def test_focused_crawl_topic_broadcast(spark):
     plan = plan_of(Q.queries()["focused_crawl_priority"](spark, SF))
     assert "BroadcastHashJoin" in plan, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_canonical_select_argmax_aggregate_not_window(spark):
+    """The per-cluster canonical argmax must be a map-side-combinable
+    min(struct) aggregate; the only windows in the plan belong to the
+    upstream component computation, never to a per-cluster sort of the
+    labeled corpus (partial_min proves the combine)."""
+    plan = plan_of(Q.queries()["canonical_select"](spark, SF))
+    assert "partial_min" in plan, plan
+    assert "SinglePartition" not in plan, plan

@@ -7184,6 +7184,109 @@ def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "canonical_select",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM toks WHERE len(w) >= 3
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
+                   AS DOUBLE), 6) >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b AS src, id_a AS dst FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+    ), reach(id, label) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
+    ), comp AS (
+      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+    ), lab AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    ), canon AS (
+      SELECT cluster_id,
+             first_value(doc_id) OVER (
+               PARTITION BY cluster_id
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS canonical_id,
+             row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id)
+               AS rn
+      FROM lab
+    )
+    SELECT lab.doc_id, lab.cluster_id, canon.canonical_id,
+           lab.doc_id = canon.canonical_id AS keep
+    FROM lab JOIN canon
+      ON canon.cluster_id = lab.cluster_id AND canon.rn = 1
+    """,
+)
+def q_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per near-dup cluster — the
+    keep-BEST rule (RefinedWeb/C4 practice, public: among near-dup
+    copies keep the longest document, tie-break lowest id) instead of
+    dedup_clusters' keep-lowest-id, over ALL documents: singletons (no
+    near-dup pair) are their own canonical, so the output is a total
+    keep/drop decision for the corpus, not just for paired docs. This is
+    the step a production pipeline actually ships — dedup_clusters
+    answers "which docs are copies", canonical_select answers "which
+    copy do we keep".
+
+    100 TB shape: the pair graph and components come from the shared
+    shingle-cache path (operators/dedup + graph — posting-list join,
+    min-label propagation); the component label table is |paired docs|
+    (a small fraction of the corpus), LEFT-joined to the corpus on the
+    doc-id key; the argmax is a min(struct(-n_chars, doc_id)) AGGREGATE
+    with map-side partial combine — never a per-cluster sort window —
+    and its output is |clusters| rows joined back on cluster_id. Hot
+    clusters (a boilerplate page with millions of copies) cost one
+    (key, struct) pair per map partition, not a sorted partition."""
+    d = _t(spark, sf_dir, "documents")
+    from web_scraper_v1_spark.operators.graph import connected_components
+
+    pairs = DD.ngram_jaccard_pairs(d, threshold=0.8)
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("id").alias("doc_id"), F.col("label").alias("comp_id")
+    )
+    lab = (
+        d.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp_id", "doc_id").alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    canon = lab.groupBy("cluster_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("neg_len"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("s")
+    )
+    return lab.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("s.doc_id").alias("canonical_id"),
+        (F.col("doc_id") == F.col("s.doc_id")).alias("keep"),
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
