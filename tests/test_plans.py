@@ -787,16 +787,17 @@ def test_wfq_schedule_single_host_exchange(spark):
     assert "SinglePartition" not in plan, plan
 
 
-def test_soft404_count_join_copartitioned(spark):
-    """The dup-count aggregate and the join back must share the ONE
-    (host, body-hash) exchange per side with a map-side partial count —
-    the counted side re-uses the same key so no extra repartition of
-    the probe stream appears."""
+def test_soft404_single_scan_single_exchange(spark):
+    """Dup-counting is a count window over the ONE (host, body-hash)
+    exchange — a single corpus scan (no self-join that would re-pay the
+    scan + md5 + phrase regex on a probe side), the url_trap_detect
+    shape."""
     plan = plan_of(Q.queries()["soft404_detect"](spark, SF))
-    assert "partial_count" in plan, plan
-    assert "SinglePartition" not in plan, plan
     tree = plan.split("\n\n")[0]
-    assert tree.count("Exchange") <= 2, plan
+    assert tree.count("Exchange") == 1, plan
+    assert tree.count("Scan parquet") == 1, plan
+    assert "hashpartitioning(host" in plan, plan
+    assert "SinglePartition" not in plan, plan
 
 
 def test_focused_crawl_topic_broadcast(spark):
@@ -812,6 +813,14 @@ def test_canonical_select_argmax_aggregate_not_window(spark):
     min(struct) aggregate; the only windows in the plan belong to the
     upstream component computation, never to a per-cluster sort of the
     labeled corpus (partial_min proves the combine)."""
-    plan = plan_of(Q.queries()["canonical_select"](spark, SF))
-    assert "partial_min" in plan, plan
-    assert "SinglePartition" not in plan, plan
+    from web_scraper_v1_spark.operators import dedup as DD
+
+    try:
+        plan = plan_of(Q.queries()["canonical_select"](spark, SF))
+        assert "partial_min" in plan, plan
+        assert "SinglePartition" not in plan, plan
+    finally:
+        # plan construction executes the pair/component jobs, which
+        # persist the posting-list frame — don't leak it into the rest
+        # of the session (the ordering.release_cached() convention)
+        DD.release_cached()

@@ -2795,9 +2795,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "dedup_clusters",
-    """
+# the transitive-closure-of-near-dup-pairs oracle prefix (shingles ->
+# exact-Jaccard pairs -> undirected edges -> recursive reachability ->
+# min-label components), shared by every oracle that consumes CLUSTERS
+# rather than pairs (dedup_clusters, canonical_select) — one definition
+# so the shingling/threshold convention cannot drift between them.
+_CLUSTER_COMP_CTE = """
     WITH RECURSIVE toks AS (
       SELECT doc_id,
              regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -2825,6 +2828,13 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), comp AS (
       SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
     )
+"""
+
+
+@_q(
+    "dedup_clusters",
+    _CLUSTER_COMP_CTE
+    + """
     SELECT id AS doc_id, cluster_id,
            CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
              AS cluster_size,
@@ -5163,9 +5173,13 @@ def _anchor_edges(d: DataFrame) -> DataFrame:
     )
 
 
-@_q(
-    "anchor_text_agg",
-    """
+# SQL twin of ``_anchor_edges`` (anchors VALUES table + the two derived
+# edge branches) — ONE definition shared by every oracle that consumes
+# the anchor-edge list (anchor_text_agg, focused_crawl_priority), so the
+# edge-derivation convention (hosts mod 37, paths mod 10, aid =
+# (doc_id*13+salt) % 8) cannot drift between oracles; the Python side is
+# already centralized in ``_anchor_edges``.
+_ANCHOR_EDGE_CTE = """
     WITH anchors(aid, phrase) AS (
       VALUES (0,'click here'),(1,'read more'),(2,'official site'),
              (3,'home page'),(4,'next page'),(5,'download'),
@@ -5183,7 +5197,15 @@ def _anchor_edges(d: DataFrame) -> DataFrame:
                || '.example.com/doc/' || CAST((doc_id*5+2)%10 AS VARCHAR),
              (doc_id*13+1)%8
       FROM documents
-    ), ea AS (
+    )
+"""
+
+
+@_q(
+    "anchor_text_agg",
+    _ANCHOR_EDGE_CTE
+    + """
+    , ea AS (
       SELECT src_host, url, phrase AS anchor
       FROM edges JOIN anchors ON anchors.aid = edges.aid
     ), pa AS (
@@ -6848,12 +6870,14 @@ def q_mojibake_fix(spark: SparkSession, sf_dir: str) -> DataFrame:
                || 'no longer available|does not exist)') AS has_phrase
       FROM b
     ), c AS (
-      SELECT host, bh, CAST(count(*) AS BIGINT) AS dup_n
-      FROM s GROUP BY host, bh
+      SELECT doc_id, host, has_phrase,
+             CAST(count(*) OVER (PARTITION BY host, bh) AS BIGINT)
+               AS dup_n
+      FROM s
     )
-    SELECT s.doc_id, s.host, c.dup_n, s.has_phrase,
-           (s.has_phrase AND c.dup_n >= 2) AS soft404
-    FROM s JOIN c ON c.host = s.host AND c.bh = s.bh
+    SELECT doc_id, host, dup_n, has_phrase,
+           (has_phrase AND dup_n >= 2) AS soft404
+    FROM c
     """,
 )
 def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6872,14 +6896,16 @@ def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     Go engine stores whatever the server returns (service.go persists
     any 2xx body); soft-404 screening is the corpus-hygiene extension.
 
-    100 TB shape: md5 computed in-scan, ONE exchange on the composite
-    (host, body-hash) key with map-side partial count, then an equi-join
-    back on the same key — co-partitioned by construction, no second
-    shuffle of the counted side. The count table is |distinct bodies|,
-    orders of magnitude smaller than the corpus. A mega-template (one
-    error body served by a CDN across millions of URLs) lands its count
-    on one reducer ONLY as a (key, n) pair — partial aggregation means
-    the skew cost is bounded by partition count, not row count."""
+    100 TB shape: md5 and the phrase regex are computed in-scan, then
+    ONE hash exchange on the composite (host, body-hash) key feeds a
+    count window — the url_trap_detect shape: a single corpus scan and a
+    single shuffle, no self-join that would re-pay the scan + md5 +
+    regex on a probe side. A mega-template (one error body served by a
+    CDN across millions of URLs) concentrates its window partition on
+    one task — the documented trade vs the two-scan aggregate+join
+    variant; at that skew regime the production fix is the
+    segment_dedup_hashed pattern (key the exchange on
+    xxhash64(host, bh))."""
     d = _t(spark, sf_dir, "documents")
     b = d.select(
         "doc_id",
@@ -6905,13 +6931,15 @@ def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("has_phrase"),
     )
-    c = s.groupBy("host", "bh").agg(F.count("*").cast("long").alias("dup_n"))
-    return s.join(c, ["host", "bh"]).select(
+    w = Window.partitionBy("host", "bh")
+    return s.select(
         "doc_id",
         "host",
-        "dup_n",
+        F.count("*").over(w).cast("long").alias("dup_n"),
         "has_phrase",
-        (F.col("has_phrase") & (F.col("dup_n") >= 2)).alias("soft404"),
+        (
+            F.col("has_phrase") & (F.count("*").over(w) >= 2)
+        ).alias("soft404"),
     )
 
 
@@ -6989,23 +7017,9 @@ def q_wfq_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "focused_crawl_priority",
-    """
-    WITH anchors(aid, phrase) AS (
-      VALUES (0,'click here'),(1,'read more'),(2,'official site'),
-             (3,'home page'),(4,'next page'),(5,'download'),
-             (6,'reference docs'),(7,'details')
-    ), edges AS (
-      SELECT 'http://host' || CAST((doc_id*7+1)%37 AS VARCHAR)
-               || '.example.com/doc/' || CAST((doc_id*3+1)%10 AS VARCHAR)
-               AS url,
-             (doc_id*13)%8 AS aid
-      FROM documents
-      UNION ALL
-      SELECT 'http://host' || CAST((doc_id*11+2)%37 AS VARCHAR)
-               || '.example.com/doc/' || CAST((doc_id*5+2)%10 AS VARCHAR),
-             (doc_id*13+1)%8
-      FROM documents
-    ), ea AS (
+    _ANCHOR_EDGE_CTE
+    + """
+    , ea AS (
       SELECT url, phrase FROM edges JOIN anchors ON anchors.aid = edges.aid
     ), topic(term) AS (
       VALUES ('official'),('reference'),('docs'),('download')
@@ -7186,34 +7200,9 @@ def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_q(
     "canonical_select",
-    """
-    WITH RECURSIVE toks AS (
-      SELECT doc_id,
-             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
-      FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                            for i in range(1, len(w) - 1)]) AS shingles
-      FROM toks WHERE len(w) >= 3
-    ), pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-            / CAST(len(list_distinct(list_concat(a.shingles, b.shingles)))
-                   AS DOUBLE), 6) >= 0.8
-    ), edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION SELECT id_b AS src, id_a AS dst FROM pairs
-    ), nodes AS (
-      SELECT DISTINCT src AS id FROM edges
-    ), reach(id, label) AS (
-      SELECT id, id FROM nodes
-      UNION
-      SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id
-    ), comp AS (
-      SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
-    ), lab AS (
+    _CLUSTER_COMP_CTE
+    + """
+    , lab AS (
       SELECT d.doc_id,
              COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
              d.n_chars
@@ -7249,10 +7238,13 @@ def q_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the pair graph and components come from the shared
     shingle-cache path (operators/dedup + graph — posting-list join,
     min-label propagation); the component label table is |paired docs|
-    (a small fraction of the corpus), LEFT-joined to the corpus on the
-    doc-id key; the argmax is a min(struct(-n_chars, doc_id)) AGGREGATE
-    with map-side partial combine — never a per-cluster sort window —
-    and its output is |clusters| rows joined back on cluster_id. Hot
+    (a small fraction of the corpus, localCheckpoint'ed upstream). The
+    argmax runs over ONLY that small table joined to its docs' lengths
+    — a min(struct(-n_chars, doc_id)) AGGREGATE with map-side partial
+    combine, never a per-cluster sort window — so the corpus-wide final
+    frame is one column-pruned scan LEFT-joined to two small label
+    tables (singletons fall through to self-canonical via coalesce);
+    the corpus never feeds the argmax and is never evaluated twice. Hot
     clusters (a boilerplate page with millions of copies) cost one
     (key, struct) pair per map partition, not a sorted partition."""
     d = _t(spark, sf_dir, "documents")
@@ -7262,28 +7254,31 @@ def q_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), F.col("label").alias("comp_id")
     )
-    lab = (
-        d.select("doc_id", "n_chars")
+    canon = (
+        comp.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("comp_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("n_chars")).alias("neg_len"),
+                    F.col("doc_id").alias("doc_id"),
+                )
+            ).alias("s")
+        )
+        .select("comp_id", F.col("s.doc_id").alias("canon_id"))
+    )
+    return (
+        d.select("doc_id")
         .join(comp, "doc_id", "left")
+        .join(canon, "comp_id", "left")
         .select(
             "doc_id",
             F.coalesce("comp_id", "doc_id").alias("cluster_id"),
-            "n_chars",
+            F.coalesce("canon_id", "doc_id").alias("canonical_id"),
+            (
+                F.col("doc_id") == F.coalesce("canon_id", "doc_id")
+            ).alias("keep"),
         )
-    )
-    canon = lab.groupBy("cluster_id").agg(
-        F.min(
-            F.struct(
-                (-F.col("n_chars")).alias("neg_len"),
-                F.col("doc_id").alias("doc_id"),
-            )
-        ).alias("s")
-    )
-    return lab.join(canon, "cluster_id").select(
-        "doc_id",
-        "cluster_id",
-        F.col("s.doc_id").alias("canonical_id"),
-        (F.col("doc_id") == F.col("s.doc_id")).alias("keep"),
     )
 
 
