@@ -70,6 +70,7 @@ HEADLINE = [
     "script_detect",
     "soft404_detect",
     "canonical_select",
+    "ccnet_buckets",
     "wfq_schedule",
     "focused_crawl_priority",
     "fingerprint_md5",

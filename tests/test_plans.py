@@ -824,3 +824,42 @@ def test_canonical_select_argmax_aggregate_not_window(spark):
         # persist the posting-list frame — don't leak it into the rest
         # of the session (the ordering.release_cached() convention)
         DD.release_cached()
+
+
+def test_ccnet_buckets_no_single_partition_rank(spark):
+    """The global surprisal rank must ride the two-phase prefix sum
+    (range partitioning), never a SinglePartition ORDER-BY window; the
+    tercile count n arrives as a broadcast one-row aggregate."""
+    from web_scraper_v1_spark.operators import ordering
+
+    import re
+
+    try:
+        plan = plan_of(Q.queries()["ccnet_buckets"](spark, SF))
+        # phase 1 + phase 2 of the prefix sum are present
+        assert "rangepartitioning" in plan, plan
+        assert "hashpartitioning(_pid" in plan, plan
+        # the tercile count arrives broadcast
+        assert "BroadcastExchange" in plan, plan
+        # every SinglePartition exchange is a scalar/top-K aggregate
+        # (vocab limit, n_total, n) — NONE may feed a Sort/Window pair
+        # (that would be the global-ORDER-BY rank this test forbids)
+        tree = plan.split("\n\n")[0]
+        single_ids = {
+            m.group(1)
+            for m in re.finditer(r"\((\d+)\) Exchange", plan)
+            if "SinglePartition"
+            in plan.split(f"({m.group(1)}) Exchange")[1].split("(")[0]
+        }
+        lines = tree.split("\n")
+        for i, ln in enumerate(lines):
+            m = re.search(r"(?:Sort) \((\d+)\)", ln)
+            if not m:
+                continue
+            # the exchange directly under a Sort must not be 1-partition
+            for nxt in lines[i + 1 : i + 2]:
+                em = re.search(r"Exchange \((\d+)\)", nxt)
+                if em:
+                    assert em.group(1) not in single_ids, plan
+    finally:
+        ordering.release_cached()

@@ -3538,9 +3538,13 @@ def q_segment_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_q(
-    "unigram_surprisal",
-    """
+# unigram-LM doc scoring CTE prefix (token stream -> counts -> top-K
+# vocab -> per-token quantized inverse-probability), shared by every
+# oracle that consumes per-doc surprisal (unigram_surprisal,
+# ccnet_buckets) — one definition so the vocab-K/OOV/quantization
+# convention cannot drift between them. The Spark twin is
+# ``_surprisal_doc_scores``.
+_SURPRISAL_SCORED_CTES = """
     WITH tok AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
@@ -3558,28 +3562,16 @@ def q_segment_dedup_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * 1000) AS BIGINT) AS q
       FROM tok LEFT JOIN vocab v ON tok.t = v.t CROSS JOIN tot
     )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(q) AS BIGINT) AS surprisal_q_sum,
-           round(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
-             AS mean_surprisal_q
-    FROM scored GROUP BY doc_id
-    """,
-)
-def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM surprisal scoring — the CCNet-style quality proxy: docs
-    whose tokens are rare under a corpus-trained unigram model (high mean
-    inverse probability) are outliers (gibberish, other-domain text).
-    Transcendental-free by the oracle-parity rule: per-token 'surprisal'
-    is the rational inverse probability n_total/cnt quantized to int64
-    (ln of it would order identically), summed exactly. The model is a
-    top-K vocab (K=24 of this corpus's 31 tokens, tiebreak cnt DESC,
-    token ASC so the LIMIT is deterministic) with out-of-vocab tokens
-    scored as cnt=1 — exactly the bounded-vocab + OOV-fallback shape a
-    100 TB run needs: token counts are one map-side-combined aggregation,
-    the vocab and the one-row total are broadcast (the corpus-side token
-    stream never shuffles for scoring), and the only wide exchange is the
-    final (doc_id) aggregation."""
+"""
+
+
+def _surprisal_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, surprisal_q_sum) per document — the Spark twin
+    of ``_SURPRISAL_SCORED_CTES`` + its per-doc aggregation, shared by
+    unigram_surprisal and ccnet_buckets. Token counts are one map-side-
+    combined aggregation; the top-K vocab and the one-row total are
+    broadcast, so the corpus-side token stream never shuffles for
+    scoring; the only wide exchange is the final (doc_id) aggregation."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("t")
@@ -3604,8 +3596,43 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.sum("q").cast("long").alias("surprisal_q_sum"),
+    )
+
+
+@_q(
+    "unigram_surprisal",
+    _SURPRISAL_SCORED_CTES
+    + """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(q) AS BIGINT) AS surprisal_q_sum,
+           round(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+             AS mean_surprisal_q
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal scoring — the CCNet-style quality proxy: docs
+    whose tokens are rare under a corpus-trained unigram model (high mean
+    inverse probability) are outliers (gibberish, other-domain text).
+    Transcendental-free by the oracle-parity rule: per-token 'surprisal'
+    is the rational inverse probability n_total/cnt quantized to int64
+    (ln of it would order identically), summed exactly. The model is a
+    top-K vocab (K=24 of this corpus's 31 tokens, tiebreak cnt DESC,
+    token ASC so the LIMIT is deterministic) with out-of-vocab tokens
+    scored as cnt=1 — exactly the bounded-vocab + OOV-fallback shape a
+    100 TB run needs: token counts are one map-side-combined aggregation,
+    the vocab and the one-row total are broadcast (the corpus-side token
+    stream never shuffles for scoring), and the only wide exchange is the
+    final (doc_id) aggregation (all in ``_surprisal_doc_scores``)."""
+    return _surprisal_doc_scores(spark, sf_dir).select(
+        "doc_id",
+        "n_tokens",
+        "surprisal_q_sum",
         F.round(
-            F.sum("q").cast("double") / F.count("*").cast("double"), 4
+            F.col("surprisal_q_sum").cast("double")
+            / F.col("n_tokens").cast("double"),
+            4,
         ).alias("mean_surprisal_q"),
     )
 
@@ -7282,6 +7309,74 @@ def q_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "ccnet_buckets",
+    _SURPRISAL_SCORED_CTES
+    + """
+    , doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(q) AS BIGINT) AS sq
+      FROM scored GROUP BY doc_id
+    ), m AS (
+      SELECT doc_id, sq * 10000 // n_tokens AS mean_q_int FROM doc
+    ), r AS (
+      SELECT doc_id, mean_q_int,
+             row_number() OVER (ORDER BY mean_q_int, doc_id) - 1 AS rank0,
+             count(*) OVER () AS n
+      FROM m
+    )
+    SELECT doc_id, CAST(mean_q_int AS BIGINT) AS mean_q_int,
+           CAST(rank0 AS BIGINT) AS rank0,
+           CASE (3 * rank0) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM r
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, public):
+    partition the corpus into head/middle/tail TERCILES of the unigram-
+    LM surprisal score — the language-modeling practice of keeping the
+    head (most in-domain) bucket, mixing the middle, and downsampling
+    the tail, as a deterministic label every downstream mixture query
+    can group on. The per-doc score is the exact-integer mean proxy
+    (surprisal_q_sum * 10000) div n_tokens — same ORDER as the float
+    mean, zero FP in the ordering key — and the tercile boundary is
+    rank-based ((3 * rank) div n), not a quantile estimate, so the
+    bucket assignment is bit-reproducible.
+
+    100 TB shape: the scoring chain is the shared
+    ``_surprisal_doc_scores`` (broadcast vocab, token stream never
+    shuffles); the GLOBAL rank does NOT use a global-ORDER-BY window (a
+    SinglePartition sort at corpus scale) — it rides
+    ``operators/ordering.global_prefix_sum`` with weight 1: range-
+    partition on the (score, doc_id) total order, per-partition window
+    counts, one long per partition to the driver (plan-asserted no
+    SinglePartition). The doc count n for the tercile boundary comes
+    from a one-row broadcast aggregate off the scored frame, never a
+    driver-side count of the chain."""
+    from web_scraper_v1_spark.operators import ordering
+
+    ordering.release_cached()
+    m = _surprisal_doc_scores(spark, sf_dir).select(
+        "doc_id",
+        F.expr("surprisal_q_sum * 10000 div n_tokens").alias("mean_q_int"),
+    )
+    ranked = ordering.global_prefix_sum(
+        m, ("mean_q_int", "doc_id"), F.lit(1), "rank0"
+    )
+    n = m.agg(F.count("*").cast("long").alias("n"))
+    return ranked.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        F.col("mean_q_int").cast("long").alias("mean_q_int"),
+        F.col("rank0").cast("long").alias("rank0"),
+        F.when(F.expr("3 * rank0 div n") == 0, F.lit("head"))
+        .when(F.expr("3 * rank0 div n") == 1, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
@@ -7319,6 +7414,9 @@ _REVERIFY: set[str] = {
     "simhash_dedup",
     "ngram_jaccard_dedup",
     "incremental_dedup",
+    # round 5: scoring chain extracted into _surprisal_doc_scores
+    # (shared with ccnet_buckets)
+    "unigram_surprisal",
     "dedup_pipeline",
     "dedup_clusters",
 }
