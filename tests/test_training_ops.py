@@ -972,3 +972,21 @@ def test_mojibake_repair_roundtrip(spark):
     assert out[1] == clean          # damage repaired byte-exactly
     assert out[2] == clean          # already-clean text untouched
     assert out[3] == "plain ascii only"
+
+
+def test_jaccard_pairs_cache_hit_and_parity(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    DD.release_pairs()
+    direct = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in DD.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    c1 = DD.jaccard_pairs_cached(docs, threshold=0.8)
+    c2 = DD.jaccard_pairs_cached(docs, threshold=0.8)
+    assert c1 is c2  # second consumer reuses the persisted frame
+    cached = {(r.id_a, r.id_b, r.jaccard) for r in c1.collect()}
+    assert cached == direct
+    # distinct threshold is a distinct cache entry, not a false hit
+    c3 = DD.jaccard_pairs_cached(docs, threshold=0.9)
+    assert c3 is not c1
+    DD.release_pairs()

@@ -112,8 +112,60 @@ def _shingles_cached(
 def release_all() -> None:
     """Drop every dedup cache including the shared shingle frames."""
     release_cached()
+    release_pairs()
     while _SHINGLE_CACHE:
         _SHINGLE_CACHE.popitem()[1][1].unpersist()
+
+
+# The EXACT near-dup pair graph over one input is consumed by several
+# registry queries in a session (pair listing, cluster assignment,
+# canonical selection) — without a cache each re-pays the posting-list
+# self-join + exact verification the sibling just ran. Same discipline
+# as queries._DECISIONS_CACHE / _shingles_cached: semanticHash probe,
+# sameSemantics verification (the hash is only 32 bits), LRU touch on
+# hit, bounded with unpersist-on-evict. The pairs frame itself is tiny
+# (near-dup pairs, not the corpus), so persisting it is cheap at any
+# scale.
+_PAIRS_CACHE: dict[tuple[int, float, int], tuple[DataFrame, DataFrame]] = {}
+_PAIRS_CACHE_MAX = 2
+
+
+def release_pairs() -> None:
+    """Unpersist every cached near-dup pair frame."""
+    while _PAIRS_CACHE:
+        _PAIRS_CACHE.popitem()[1][1].unpersist()
+
+
+def jaccard_pairs_cached(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Plan-cached wrapper over ``ngram_jaccard_pairs``: the second
+    consumer of the same input's pair graph in a session (dedup_clusters
+    after ngram_jaccard_dedup, canonical_select after either) reuses the
+    persisted pairs instead of re-running the posting join."""
+    key = (docs.semanticHash(), threshold, n)
+    hit = _PAIRS_CACHE.get(key)
+    if hit is not None:
+        src, df = hit
+        if docs.sameSemantics(src):
+            del _PAIRS_CACHE[key]
+            _PAIRS_CACHE[key] = (src, df)
+            return df
+        df.unpersist()
+        del _PAIRS_CACHE[key]
+    df = ngram_jaccard_pairs(
+        docs, threshold, n, max_df, id_col, text_col
+    ).persist()
+    _PAIRS_CACHE[key] = (docs, df)
+    while len(_PAIRS_CACHE) > _PAIRS_CACHE_MAX:
+        oldest = next(iter(_PAIRS_CACHE))
+        _PAIRS_CACHE.pop(oldest)[1].unpersist()
+    return df
 
 
 def exact_dedup(

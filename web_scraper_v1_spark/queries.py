@@ -2790,7 +2790,7 @@ _JACCARD_ORACLE = """
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pairs (word-3-gram Jaccard >= 0.8) via inverted
     shingle index — posting-list join, never O(n^2)."""
-    return DD.ngram_jaccard_pairs(
+    return DD.jaccard_pairs_cached(
         _t(spark, sf_dir, "documents"), threshold=0.8
     )
 
@@ -2854,7 +2854,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     families)."""
     from web_scraper_v1_spark.operators.graph import cluster_assignments
 
-    pairs = DD.ngram_jaccard_pairs(
+    pairs = DD.jaccard_pairs_cached(
         _t(spark, sf_dir, "documents"), threshold=0.8
     )
     return cluster_assignments(pairs)
@@ -7277,7 +7277,7 @@ def q_canonical_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     from web_scraper_v1_spark.operators.graph import connected_components
 
-    pairs = DD.ngram_jaccard_pairs(d, threshold=0.8)
+    pairs = DD.jaccard_pairs_cached(d, threshold=0.8)
     comp = connected_components(pairs, "id_a", "id_b").select(
         F.col("id").alias("doc_id"), F.col("label").alias("comp_id")
     )
@@ -7417,6 +7417,9 @@ _REVERIFY: set[str] = {
     # round 5: scoring chain extracted into _surprisal_doc_scores
     # (shared with ccnet_buckets)
     "unigram_surprisal",
+    # round 5: pair graph now flows through the jaccard_pairs_cached
+    # plan-cache
+    "dedup_clusters",
     "dedup_pipeline",
     "dedup_clusters",
 }
