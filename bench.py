@@ -71,6 +71,8 @@ HEADLINE = [
     "soft404_detect",
     "canonical_select",
     "ccnet_buckets",
+    "canonical_link_collapse",
+    "opic_priority",
     "wfq_schedule",
     "focused_crawl_priority",
     "fingerprint_md5",

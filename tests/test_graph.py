@@ -217,3 +217,36 @@ def test_trustrank_teleport_none_unchanged(spark):
     r2 = {r["id"]: r["rank"] for r in
           pagerank(e, n_iter=4, teleport=None).collect()}
     assert r1 == r2
+
+
+def test_opic_exact_circulation_on_cycle(spark):
+    """On a 3-cycle every node's cash returns intact each round (out_deg
+    1, no remainder): after 5 rounds hist = 5 quanta and cash = 1
+    quantum exactly — the integer-exact policy with zero loss."""
+    from web_scraper_v1_spark.operators.graph import opic
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    out = {r.id: r for r in opic(edges, n_iter=5).collect()}
+    q = 1_000_000_000
+    assert set(out) == {0, 1, 2}
+    for r in out.values():
+        assert r.cash == q
+        assert r.hist == 5 * q
+        assert r.importance == 6 * q
+
+
+def test_opic_dangling_cash_vanishes(spark):
+    """A dangling node banks its cash once, distributes nothing, and
+    receives its inlink share — the documented remainder/dangling
+    policy, exact in integers: a -> b with b dangling."""
+    from web_scraper_v1_spark.operators.graph import opic
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    out = {r.id: r for r in opic(edges, n_iter=2).collect()}
+    q = 1_000_000_000
+    # round1: a banks q, sends q to b; b banks q, sends nothing.
+    # round2: a banks 0, sends 0; b banks q (from a), sends nothing.
+    assert out[0].hist == q and out[0].cash == 0
+    assert out[1].hist == 2 * q and out[1].cash == 0

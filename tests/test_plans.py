@@ -863,3 +863,13 @@ def test_ccnet_buckets_no_single_partition_rank(spark):
                     assert em.group(1) not in single_ids, plan
     finally:
         ordering.release_cached()
+
+
+def test_canonical_link_collapse_single_scan_single_exchange(spark):
+    """rel=canonical extraction is in-scan regex; the only exchange is
+    the count window on canonical_url (the soft404 shape)."""
+    plan = plan_of(Q.queries()["canonical_link_collapse"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1, plan
+    assert tree.count("Scan parquet") == 1, plan
+    assert "SinglePartition" not in plan, plan

@@ -365,3 +365,84 @@ def cluster_assignments(
         F.count("*").over(w).cast("long").alias("cluster_size"),
         (F.col("id") == F.col("label")).alias("keep"),
     )
+
+
+def opic(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """Fixed-iteration synchronous OPIC — On-line Page Importance
+    Computation (Abiteboul, Preda & Cobena, WWW 2003, public): every
+    node starts with one unit of "cash"; each round a node banks its
+    cash into its history and distributes it equally over its outlinks;
+    importance = history + cash. Unlike PageRank (a stationary
+    eigenvector), OPIC's importance estimate is cumulative and cheap to
+    maintain ONLINE while crawling — the canonical frontier-priority
+    signal when the graph is still being discovered. This is the
+    deterministic batch replay of the synchronous policy.
+
+    Exactness: cash is an int64 quantum (10^9 units per node); the
+    per-edge share is ``cash div out_deg`` (floor division), so the
+    only order-sensitive step — summing incoming shares per node — is
+    an exact integer aggregation, bit-identical under any partitioning
+    and replayable by the DuckDB oracle. The sub-out_deg remainder of
+    each division vanishes (documented policy, identical in both
+    engines); dangling nodes bank their cash into history but
+    distribute nothing.
+
+    Plan shape per round: one equi-join (edges x state, keyed by src)
+    and one map-side-combinable integer groupBy on dst — the
+    ``pagerank`` shapes; driver-side loop with localCheckpoint keeps
+    lineage flat. Returns (id, cash, hist, importance)."""
+    quantum = 1_000_000_000
+    e = edges.select("src", "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .persist()
+    )
+    outd = e.groupBy("src").agg(F.count("*").cast("long").alias("out_deg"))
+    state = nodes.select(
+        "id",
+        F.lit(quantum).cast("long").alias("cash"),
+        F.lit(0).cast("long").alias("hist"),
+    )
+    try:
+        if nodes.isEmpty():
+            return state.select(
+                "id", "cash", "hist",
+                (F.col("cash") + F.col("hist")).alias("importance"),
+            )
+        for _ in range(n_iter):
+            contrib = (
+                e.join(state, e["src"] == state["id"])
+                .join(outd, "src")
+                .select(
+                    F.col("dst").alias("id"),
+                    F.expr("cash div out_deg").alias("c"),
+                )
+            )
+            incoming = contrib.groupBy("id").agg(
+                F.sum("c").cast("long").alias("s")
+            )
+            state = (
+                state.select(
+                    "id", (F.col("hist") + F.col("cash")).alias("hist")
+                )
+                .join(incoming, "id", "left")
+                .select(
+                    "id",
+                    F.coalesce(F.col("s"), F.lit(0))
+                    .cast("long")
+                    .alias("cash"),
+                    "hist",
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+    return state.select(
+        "id",
+        "cash",
+        "hist",
+        (F.col("cash") + F.col("hist")).alias("importance"),
+    )

@@ -7377,6 +7377,182 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "canonical_link_collapse",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             'http://' || {_HOST_SQL} || '/doc/' || CAST(doc_id AS VARCHAR)
+               AS url,
+             text ||
+             CASE WHEN doc_id % 6 = 2
+               THEN '<link rel="canonical" href="http://host'
+                    || CAST((doc_id - 1) % 37 AS VARCHAR)
+                    || '.example.com/doc/' || CAST(doc_id - 1 AS VARCHAR)
+                    || '">'
+               ELSE '' END AS body
+      FROM documents
+    ), x AS (
+      SELECT doc_id, url,
+             regexp_extract(body,
+               '<link rel="canonical" href="([^"]+)"', 1) AS declared
+      FROM u
+    ), eff AS (
+      SELECT doc_id, url,
+             CASE WHEN declared <> '' THEN declared ELSE url END
+               AS canonical_url,
+             declared <> '' AND declared <> url AS is_alias
+      FROM x
+    )
+    SELECT doc_id, url, canonical_url, is_alias,
+           CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT)
+             AS n_on_target
+    FROM eff
+    """,
+)
+def q_canonical_link_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rel=canonical link collapse — the crawl-side dedup signal that
+    fires BEFORE any content hashing: a page that declares
+    ``<link rel="canonical" href=...>`` (AMP twins, session-id URLs,
+    print views) is an alias of its declared target, and a production
+    crawler folds frontier URLs onto the canonical target instead of
+    fetching, storing, and content-deduping the copy (the public
+    rel=canonical contract, RFC 6596). Fixture: every doc_id % 6 == 2
+    page declares its predecessor as canonical; extraction is a single
+    in-scan regexp over the body, the declared target falls back to the
+    page's own URL (self-canonical), and n_on_target counts how many
+    pages collapsed onto each canonical URL. Single-hop by
+    construction — the RFC leaves canonical CHAINS undefined; a chain
+    resolver is redirect_resolve's pointer-doubling, composable on top.
+
+    100 TB shape: extraction and alias classification are per-row
+    regex/CASE in-scan (zero shuffle, whole-stage codegen); the only
+    exchange is the count window on canonical_url — the soft404/
+    url_trap_detect shape, with the same documented hot-key note (a
+    mega-canonical target concentrates one window partition; the
+    production escape is keying the exchange on xxhash64). Reference
+    parity: the Go parser extracts fields but never reads link
+    relations (parser.go); this is the crawl-hygiene extension."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        _host_col(),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+    )
+    body = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                F.lit('<link rel="canonical" href="http://host'),
+                ((F.col("doc_id") - 1) % 37).cast("string"),
+                F.lit(".example.com/doc/"),
+                (F.col("doc_id") - 1).cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    x = d.select(
+        "doc_id",
+        url.alias("url"),
+        F.regexp_extract(
+            body, '<link rel="canonical" href="([^"]+)"', 1
+        ).alias("declared"),
+    )
+    eff = x.select(
+        "doc_id",
+        "url",
+        F.when(F.col("declared") != "", F.col("declared"))
+        .otherwise(F.col("url"))
+        .alias("canonical_url"),
+        (
+            (F.col("declared") != "") & (F.col("declared") != F.col("url"))
+        ).alias("is_alias"),
+    )
+    w = Window.partitionBy("canonical_url")
+    return eff.select(
+        "doc_id",
+        "url",
+        "canonical_url",
+        "is_alias",
+        F.count("*").over(w).cast("long").alias("n_on_target"),
+    )
+
+
+def _opic_oracle(n_iter: int = 5) -> str:
+    sql = """
+    WITH links AS (
+      SELECT doc_id % 37 AS src, (doc_id * 7 + 1) % 37 AS dst FROM documents
+      UNION ALL
+      SELECT doc_id % 37 AS src, (doc_id * 11 + 2) % 37 AS dst FROM documents
+    ), edges AS (
+      SELECT DISTINCT src, dst FROM links WHERE src <> dst
+    ), nodes AS (
+      SELECT DISTINCT src AS id FROM edges
+      UNION SELECT DISTINCT dst AS id FROM edges
+    ), outd AS (
+      SELECT src, CAST(count(*) AS BIGINT) AS out_deg FROM edges GROUP BY src
+    ), s0 AS (
+      SELECT id, CAST(1000000000 AS BIGINT) AS cash,
+             CAST(0 AS BIGINT) AS hist
+      FROM nodes
+    )"""
+    prev = "s0"
+    for i in range(1, n_iter + 1):
+        sql += f""", c{i} AS (
+      SELECT e.dst AS id, CAST(SUM(p.cash // o.out_deg) AS BIGINT) AS s
+      FROM edges e JOIN {prev} p ON p.id = e.src JOIN outd o ON o.src = e.src
+      GROUP BY e.dst
+    ), s{i} AS (
+      SELECT nodes.id,
+             CAST(COALESCE(c{i}.s, 0) AS BIGINT) AS cash,
+             p.hist + p.cash AS hist
+      FROM nodes JOIN {prev} p ON p.id = nodes.id
+      LEFT JOIN c{i} ON c{i}.id = nodes.id
+    )"""
+        prev = f"s{i}"
+    return (
+        sql
+        + f"""
+    SELECT id AS host, cash, hist, cash + hist AS importance FROM {prev}
+    """
+    )
+
+
+@_q("opic_priority", _opic_oracle())
+def q_opic_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC host importance (Abiteboul et al. 2003, public) over the
+    same doc_id % 37 host link graph as host_pagerank — the THIRD
+    frontier-priority signal next to PageRank and HITS, and the one a
+    crawler can maintain ONLINE while the graph is still being
+    discovered (cash moves with each fetch; no global iteration to
+    convergence needed). Synchronous batch replay, 5 rounds, integer-
+    exact end to end: cash is an int64 quantum, per-edge shares are
+    floor divisions, and the only order-sensitive sums are integer
+    aggregations (operators/graph.opic), so the oracle replays every
+    round bit-exactly. Plan shape per round: one src-keyed equi-join +
+    one map-side-combinable integer groupBy on dst — identical
+    exchanges to pagerank/connected-components, scale-bounded by the
+    host-graph size, never the corpus."""
+    from web_scraper_v1_spark.operators.graph import opic
+
+    d = _t(spark, sf_dir, "documents")
+    links = d.select(
+        (F.col("doc_id") % 37).alias("src"),
+        ((F.col("doc_id") * 7 + 1) % 37).alias("dst"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") % 37).alias("src"),
+            ((F.col("doc_id") * 11 + 2) % 37).alias("dst"),
+        )
+    )
+    edges = links.distinct().filter(F.col("src") != F.col("dst"))
+    return opic(edges, n_iter=5).select(
+        F.col("id").alias("host"), "cash", "hist", "importance"
+    )
+
+
 # --------------------------------------------------------------------------
 # public surface
 # --------------------------------------------------------------------------
