@@ -873,3 +873,13 @@ def test_canonical_link_collapse_single_scan_single_exchange(spark):
     assert tree.count("Exchange") == 1, plan
     assert tree.count("Scan parquet") == 1, plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_cdx_surt_range_prefix_filter_is_pushed(spark):
+    """The stored-CDX prefix lookup must reach the parquet scan as a
+    pushed StartsWith so range partitions that cannot contain the prefix
+    are pruned by min-max stats at 100 TB."""
+    df = Q.queries()["cdx_surt_range"](spark, SF)
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "StartsWith(surt" in pushed

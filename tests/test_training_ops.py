@@ -990,3 +990,77 @@ def test_jaccard_pairs_cache_hit_and_parity(spark):
     c3 = DD.jaccard_pairs_cached(docs, threshold=0.9)
     assert c3 is not c1
     DD.release_pairs()
+
+
+def test_containment_pairs_directed(spark):
+    """A is a strict shingle-subset of B: containment finds the directed
+    (A in B) pair that symmetric Jaccard misses at the same threshold."""
+    w = [f"w{i}" for i in range(20)]
+    b_text = " ".join(w)           # 18 trigram shingles
+    a_text = " ".join(w[:10])      # 8 shingles, all inside B's set
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text), (3, "zz yy xx vv uu tt")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r
+        for r in DD.containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert set(pairs) == {(1, 2)}  # directed: A contained in B only
+    assert pairs[(1, 2)].containment == 1.0
+    assert pairs[(1, 2)].n_a == 8 and pairs[(1, 2)].n_b == 18
+    # symmetric Jaccard at the same threshold sees nothing (8/18 < 0.8)
+    assert DD.ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_containment_screen_is_lossless_vs_allpairs(spark):
+    """max_df pruning plus the upper-bound screen must reproduce the
+    unpruned all-pairs answer on the real corpus slice."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pruned = {
+        (r.id_a, r.id_b, r.containment)
+        for r in DD.containment_pairs(
+            docs, threshold=0.8, max_df=5
+        ).collect()
+    }
+    unpruned = {
+        (r.id_a, r.id_b, r.containment)
+        for r in DD.containment_pairs(
+            docs, threshold=0.8, max_df=0
+        ).collect()
+    }
+    assert pruned == unpruned
+
+
+def test_boilerplate_two_pass_classes(spark):
+    """Context-free classes per the integer thresholds, then the
+    context pass: ambiguous blocks adopt 'good' iff a decided
+    neighbour on either side is good (document edges count as bad)."""
+    from web_scraper_v1_spark.functions.boilerplate import classify_blocks
+
+    filler = ["mountain", "evening", "laughter", "quantity",
+              "document", "sample", "fortune", "library"]
+    # doc 1: bad (link-dense) | good (2 stopwords, >50 chars) |
+    #        neargood (1 stopword) -> good by context | short tail -> good
+    blk_bad = ["spark", "spark", "spark"] + ["w"] * 7
+    blk_good = ["the", "table"] + filler
+    blk_near = ["the"] + [f"word{i}" for i in range(9)]
+    tail = ["aa", "bb"]
+    doc1 = " ".join(blk_bad + blk_good + blk_near + tail)
+    # doc 2: neargood surrounded only by bads -> bad
+    blk_bad2 = ["vector", "vector", "vector"] + ["q"] * 7
+    doc2 = " ".join(blk_bad + blk_near + blk_bad2)
+    docs = spark.createDataFrame(
+        [(1, doc1), (2, doc2)], "doc_id long, text string"
+    )
+    rows = {
+        (r.doc_id, r.block_idx): (r.cls, r.cls_final)
+        for r in classify_blocks(docs).collect()
+    }
+    assert rows[(1, 0)] == ("bad", "bad")
+    assert rows[(1, 1)] == ("good", "good")
+    assert rows[(1, 2)] == ("neargood", "good")   # neighbour good
+    assert rows[(1, 3)] == ("short", "good")      # prev decided good
+    assert rows[(2, 0)] == ("bad", "bad")
+    assert rows[(2, 1)] == ("neargood", "bad")    # both neighbours bad
+    assert rows[(2, 2)] == ("bad", "bad")

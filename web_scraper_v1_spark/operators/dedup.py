@@ -344,6 +344,117 @@ def ngram_jaccard_pairs(
     return _verified_pairs(candidates, shingled, threshold)
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT Jaccard-*containment* pairs: C(A in B) = |A ∩ B| / |A| over
+    word n-gram shingle sets. Containment is the asymmetric sibling of
+    Jaccard (LSH Ensemble, Zhu et al. VLDB 2016; RefinedWeb removes
+    documents subsumed by a larger page) — a short quote-page nested
+    inside a long article has tiny Jaccard but containment ≈ 1, so a
+    symmetric near-dup pass never finds it. Pairs are DIRECTED:
+    (id_a, id_b) means A's shingles are >= threshold contained in B.
+
+    Same inverted-posting-index shape as ``ngram_jaccard_pairs`` — the
+    shuffle is keyed by shingle, never an O(n^2) cross join — and the
+    same lossless screen logic: with inter_kept shared kept-shingles and
+    p_a/p_b per-doc pruned-shingle counts, true intersection is
+    <= inter_kept + min(p_a, p_b), so
+
+        c_ub = (inter_kept + min(p_a, p_b)) / n_a  >=  true containment
+
+    and dropping candidates below threshold is lossless. Survivors are
+    verified with exact intersection over the FULL shingle arrays, so
+    reported values are always unpruned-exact. Self-pairs and docs with
+    empty shingle sets are excluded (containment of an empty set is
+    undefined, not 1.0 — same n >= len(w) guard as every strategy)."""
+    release_cached()
+    shingled = _shingles_cached(docs, id_col, text_col, n)
+    postings = shingled.select(
+        "id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    if max_df:
+        df_counts = postings.groupBy("shingle").agg(
+            F.count("*").alias("_df")
+        )
+        postings = (
+            postings.join(
+                df_counts.filter(F.col("_df") <= max_df), "shingle"
+            ).drop("_df")
+        )
+    from pyspark.sql import Window as _W
+
+    annotated = _persist(
+        postings.withColumn(
+            "_p",
+            (
+                F.col("n_shingles")
+                - F.count("*").over(_W.partitionBy("id"))
+            ).cast("int"),
+        )
+    )
+    a = annotated.select(
+        F.col("shingle"),
+        F.col("id").alias("id_a"),
+        F.col("n_shingles").alias("n_a"),
+        F.col("_p").alias("p_a"),
+    )
+    b = annotated.select(
+        F.col("shingle"),
+        F.col("id").alias("id_b"),
+        F.col("_p").alias("p_b"),
+    )
+    inter_ub = F.col("inter_kept") + F.least("p_a", "p_b")
+    candidates = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "p_a", "p_b")
+        .agg(F.count("*").alias("inter_kept"))
+        .filter(
+            inter_ub.cast("double") / F.col("n_a").cast("double")
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    sh_a = shingled.select(
+        F.col("id").alias("id_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_shingles").alias("n_a"),
+    )
+    sh_b = shingled.select(
+        F.col("id").alias("id_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_shingles").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("inter", inter.cast("long"))
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("inter").cast("double") / F.col("n_a").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "inter",
+            "containment",
+        )
+    )
+
+
 _SPLITMIX_GAMMA = np.uint64(0x9E3779B97F4A7C15)
 _MIX1 = np.uint64(0xBF58476D1CE4E5B9)
 _MIX2 = np.uint64(0x94D049BB133111EB)

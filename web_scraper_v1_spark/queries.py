@@ -2891,6 +2891,117 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_q(
+    "containment_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                            for i in range(1, len(w) - 1)]) AS shingles
+      FROM toks WHERE len(w) >= 3
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(len(a.shingles) AS BIGINT) AS n_a,
+           CAST(len(b.shingles) AS BIGINT) AS n_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT)
+             AS inter,
+           round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                 / CAST(len(a.shingles) AS DOUBLE), 6) AS containment
+    FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+    WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                / CAST(len(a.shingles) AS DOUBLE), 6) >= 0.8
+    """,
+)
+def q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed Jaccard-CONTAINMENT pairs (|A∩B|/|A| >= 0.8): the
+    asymmetric near-dup rule that catches a short page subsumed by a
+    longer one (LSH Ensemble, Zhu et al. VLDB 2016 — public; RefinedWeb's
+    subsumed-document removal), which symmetric Jaccard misses entirely.
+    Same inverted-posting-index + lossless-upper-bound-screen + exact-
+    verify shape as ``ngram_jaccard_dedup`` (operators/dedup.py
+    containment_pairs); the oracle is unpruned exact all-pairs, which the
+    screen provably reproduces."""
+    return DD.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.8
+    )
+
+
+@_q(
+    "content_extract",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS block_idx,
+             w[i * 10 + 1:i * 10 + 10] AS lw
+      FROM tok, UNNEST(range(0, (len(w) + 9) // 10)) AS t(i)
+      WHERE len(w) >= 1
+    ), feat AS (
+      SELECT doc_id, block_idx,
+             CAST(len(lw) AS INT) AS n_tok,
+             CAST(strlen(array_to_string(lw, ' ')) AS INT) AS chars,
+             CAST(len(list_filter(lw,
+                  x -> x IN ('a','the','value','table'))) AS INT)
+               AS stop_cnt,
+             CAST(len(list_filter(lw,
+                  x -> x IN ('spark','stream','vector'))) AS INT)
+               AS link_cnt
+      FROM blk
+    ), cf AS (
+      SELECT *,
+             CASE
+               WHEN link_cnt * 5 > n_tok THEN 'bad'
+               WHEN chars < 40 THEN
+                 CASE WHEN link_cnt > 0 THEN 'bad' ELSE 'short' END
+               WHEN stop_cnt * 5 >= n_tok THEN
+                 CASE WHEN chars > 50 THEN 'good' ELSE 'neargood' END
+               WHEN stop_cnt * 10 >= n_tok THEN 'neargood'
+               ELSE 'bad'
+             END AS cls
+      FROM feat
+    ), ctx AS (
+      SELECT *,
+             coalesce(last_value(
+                 CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY block_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'bad') AS ctx_prev,
+             coalesce(first_value(
+                 CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY block_idx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+               'bad') AS ctx_next
+      FROM cf
+    )
+    SELECT doc_id, block_idx, n_tok, chars, stop_cnt, link_cnt, cls,
+           CASE WHEN cls IN ('good','bad') THEN cls
+                WHEN ctx_prev = 'good' OR ctx_next = 'good' THEN 'good'
+                ELSE 'bad'
+           END AS cls_final
+    FROM ctx
+    """,
+)
+def q_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Main-content extraction via two-pass jusText-style block
+    classification (Pomikálek 2011 / trafilatura lineage — public; the
+    reference's extraction is prefix-strip only,
+    internal/parser/receiver_response_parser.go:18-37). Pass 1 classifies
+    every 10-word block from integer-encoded link/stopword densities and
+    char length (good/neargood/short/bad); pass 2 resolves the ambiguous
+    classes from the nearest DECIDED neighbours with two doc-partitioned
+    windows — no iteration, one narrow (doc_id) exchange, zero Python.
+    See functions/boilerplate.py for thresholds and the scale shape."""
+    from web_scraper_v1_spark.functions.boilerplate import classify_blocks
+
+    return classify_blocks(_t(spark, sf_dir, "documents"))
+
+
 # corpus plan -> (source frame, on-disk index path) written THIS process.
 # Production ingests the corpus index once and probes it per increment; the
 # cache gives the registry row the same cadence: the first call in a session
@@ -5795,6 +5906,67 @@ _HLL_ORACLE = f"""
            exact_distinct
     FROM s2 JOIN ex ON s2.event_type = ex.event_type
     """
+
+
+# corpus plan -> (source frame, stored range-partitioned CDX path) written
+# this process — the _MINHASH_INDEX_CACHE discipline: production ingests
+# the capture index once and serves many prefix lookups against it.
+_CDX_STORE_CACHE: dict[int, tuple[DataFrame, str]] = {}
+
+
+@_q(
+    "cdx_surt_range",
+    f"""
+    SELECT 'com,example,host' || CAST(doc_id % 37 AS VARCHAR)
+             || ')/doc/' || CAST(doc_id AS VARCHAR) AS surt,
+           {{_WARC_URL_SQL}} AS url,
+           md5({{_WARC_HTML_SQL}}) AS digest,
+           CAST(strlen({{_WARC_HTML_SQL}}) AS BIGINT) AS length
+    FROM documents WHERE doc_id % 37 = 1
+    """.format(
+        _WARC_URL_SQL=_WARC_URL_SQL, _WARC_HTML_SQL=_WARC_HTML_SQL
+    ),
+)
+def q_cdx_surt_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT-prefix range lookup against a STORED capture index — the
+    Common Crawl index-server access pattern (pywb/cdxj convention,
+    public): the CDX is written once, range-partitioned AND sorted by the
+    SURT key, and a prefix query becomes a parquet scan whose StartsWith
+    predicate prunes on file/row-group min-max statistics — at 100 TB a
+    host lookup touches only the one range partition that can contain the
+    prefix, never the index. The ')'-terminated prefix
+    ('com,example,host1)') is why SURT exists: it makes one host a
+    CONTIGUOUS key range that no other host (host10...) interleaves.
+    Plan-asserted: the scan carries a pushed StartsWith(surt) filter
+    (tests/test_plans.py)."""
+    from web_scraper_v1_spark.sources import warc as W
+
+    pages = _warc_pages(spark, sf_dir)
+    key = pages.semanticHash()
+    hit = _CDX_STORE_CACHE.get(key)
+    if hit is not None and pages.sameSemantics(hit[0]):
+        path = hit[1]
+    else:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="spark_graft_cdx_store_")
+        segs = W.encode_warc_segments(pages, n_segments=8)
+        cdx = W.parse_warc_segments(segs).select(
+            W.surt_key(F.col("url")).alias("surt"),
+            "url",
+            F.md5("payload").alias("digest"),
+            F.length("payload").cast("bigint").alias("length"),
+        )
+        (
+            cdx.repartitionByRange(8, "surt")
+            .sortWithinPartitions("surt")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        _CDX_STORE_CACHE[key] = (pages, path)
+    return spark.read.parquet(path).filter(
+        F.col("surt").startswith("com,example,host1)")
+    )
 
 
 @_q("hll_distinct", _HLL_ORACLE)
