@@ -250,3 +250,31 @@ def test_opic_dangling_cash_vanishes(spark):
     # round2: a banks 0, sends 0; b banks q (from a), sends nothing.
     assert out[0].hist == q and out[0].cash == 0
     assert out[1].hist == 2 * q and out[1].cash == 0
+
+
+def test_harmonic_centrality_chain_and_unreachable(spark):
+    from web_scraper_v1_spark.operators.graph import harmonic_centrality
+
+    # 1 -> 2 -> 3, plus isolated source 9 -> 1; nothing reaches 9
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (9, 1)], "src long, dst long"
+    )
+    out = {r.id: r for r in harmonic_centrality(e).collect()}
+    assert set(out) == {1, 2, 3}  # 9 is reached by nobody -> absent
+    assert out[1].n_reached_by == 1          # only 9
+    assert out[1].harmonic_x1e6 == 1_000_000
+    assert out[2].n_reached_by == 2          # 1 at d=1, 9 at d=2
+    assert out[2].harmonic_x1e6 == 1_500_000
+    assert out[3].n_reached_by == 3          # 2@1, 1@2, 9@3
+    assert out[3].harmonic_x1e6 == 1_000_000 + 500_000 + 333_333
+
+
+def test_harmonic_centrality_cycle_settles_first_depth(spark):
+    from web_scraper_v1_spark.operators.graph import harmonic_centrality
+
+    # 2-cycle: BFS must settle each (origin, node) at its first depth
+    # and terminate despite the cycle
+    e = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    out = {r.id: r for r in harmonic_centrality(e).collect()}
+    assert out[1].n_reached_by == 1 and out[1].harmonic_x1e6 == 1_000_000
+    assert out[2].n_reached_by == 1 and out[2].harmonic_x1e6 == 1_000_000

@@ -446,3 +446,86 @@ def opic(edges: DataFrame, n_iter: int = 5) -> DataFrame:
         "hist",
         (F.col("cash") + F.col("hist")).alias("importance"),
     )
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """In-harmonic centrality per node: H(v) = sum over u != v that can
+    reach v of 1/d(u, v) (Boldi & Vigna, "Axioms for Centrality", 2014 —
+    public; the centrality they recommend over closeness because
+    unreachable pairs contribute 0 instead of poisoning the mean).
+    Directed, unweighted; distances by multi-source Pregel-style BFS:
+
+    * the frontier starts as every edge ((origin, node, 1));
+    * each round joins the frontier to the edge list (one shuffle keyed
+      by the expanding node), anti-joins against the already-settled
+      distance set (BFS settles a (origin, node) pair at its first —
+      hence minimal — depth), and checkpoints;
+    * rounds needed = graph diameter; an empty frontier is the fixed
+      point (one tiny count action per round, the connected_components
+      discipline).
+
+    Output is exact-integer: ``harmonic_x1e6`` sums round(1e6 / d) per
+    reaching source (no float-sum drift; for d <= 37 the scaled terms
+    are exact or round identically in Spark and DuckDB — .5 ties would
+    need a factor-128 denominator). At web scale (10^9+ nodes) exact
+    all-pairs BFS is O(V*E); production estimates harmonic centrality
+    with HyperBall (Boldi & Vigna 2013) — HLL registers per node, the
+    sketch machinery operators/sketches.py already carries; exact BFS is
+    the right shape for the eTLD+1 host graph (10^6-10^7 nodes) and for
+    oracle parity."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+        .persist()
+    )
+    dists = (
+        e.select(
+            F.col("src").alias("origin"),
+            F.col("dst").alias("node"),
+            F.lit(1).alias("dist"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    frontier = dists
+    try:
+        for _ in range(max_iter):
+            nxt = (
+                frontier.join(e, frontier["node"] == e["src"])
+                .select(
+                    "origin",
+                    e["dst"].alias("node"),
+                    (F.col("dist") + 1).alias("dist"),
+                )
+                .distinct()
+            )
+            new = nxt.join(
+                dists, ["origin", "node"], "left_anti"
+            ).localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            dists = dists.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        else:
+            raise RuntimeError(
+                f"harmonic_centrality did not settle in {max_iter} rounds"
+            )
+    finally:
+        e.unpersist()
+    return (
+        dists.filter(F.col("origin") != F.col("node"))
+        .groupBy("node")
+        .agg(
+            F.count("*").cast("long").alias("n_reached_by"),
+            F.sum(
+                F.round(F.lit(1000000.0) / F.col("dist")).cast("long")
+            ).cast("long").alias("harmonic_x1e6"),
+        )
+        .select(F.col("node").alias("id"), "n_reached_by", "harmonic_x1e6")
+    )

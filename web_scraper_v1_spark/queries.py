@@ -1693,6 +1693,62 @@ def q_pagerank_priority_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+@_q(
+    "host_harmonic_centrality",
+    """
+    WITH RECURSIVE links AS (
+      SELECT DISTINCT CAST(doc_id % 37 AS BIGINT) AS src,
+             CAST((doc_id * 7 + 1) % 37 AS BIGINT) AS dst
+      FROM documents
+      UNION
+      SELECT DISTINCT CAST(doc_id % 37 AS BIGINT),
+             CAST((doc_id * 11 + 2) % 37 AS BIGINT)
+      FROM documents
+    ), e AS (
+      SELECT DISTINCT src, dst FROM links WHERE src != dst
+    ), walk AS (
+      SELECT src AS origin, dst AS node, 1 AS dist FROM e
+      UNION
+      SELECT w.origin, e.dst, w.dist + 1
+      FROM walk w JOIN e ON w.node = e.src
+      WHERE w.dist < 37
+    ), sp AS (
+      SELECT origin, node, MIN(dist) AS dist
+      FROM walk GROUP BY origin, node
+    )
+    SELECT node AS host,
+           CAST(count(*) AS BIGINT) AS n_reached_by,
+           CAST(SUM(CAST(round(1000000.0 / dist) AS BIGINT)) AS BIGINT)
+             AS harmonic_x1e6
+    FROM sp WHERE origin != node GROUP BY node
+    """,
+)
+def q_host_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-harmonic centrality of every host in the crawl's link graph
+    (Boldi & Vigna 2014 — the seed-quality / hub-importance signal that,
+    unlike PageRank, is walk-free and unreachable-robust). Same
+    deterministic doc_id % 37 host graph as host_pagerank; distances by
+    multi-source BFS (operators/graph.harmonic_centrality — per round one
+    frontier-by-edge equi-join + settled-set anti-join, frontier shrinks
+    to empty at the diameter), summed as exact-scaled integers. The
+    oracle replays shortest paths with a depth-bounded recursive CTE."""
+    from web_scraper_v1_spark.operators.graph import harmonic_centrality
+
+    d = _t(spark, sf_dir, "documents")
+    links = d.select(
+        (F.col("doc_id") % 37).alias("src"),
+        ((F.col("doc_id") * 7 + 1) % 37).alias("dst"),
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") % 37).alias("src"),
+            ((F.col("doc_id") * 11 + 2) % 37).alias("dst"),
+        )
+    )
+    return harmonic_centrality(links).select(
+        F.col("id").alias("host"), "n_reached_by", "harmonic_x1e6"
+    )
+
+
 # Text analysis (training-data pipeline layer)
 # --------------------------------------------------------------------------
 
