@@ -780,3 +780,204 @@ def semdedup_keep(
             | (F.col("cosine") < F.lit(threshold))
         ).alias("keep"),
     )
+
+
+def pq_codebooks(
+    embs: DataFrame,
+    n_sub: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public):
+    the vector space is split into ``n_sub`` orthogonal subspaces and
+    each gets its own ``ks``-entry codeword table. Training reuses the
+    deterministic md5-ordered sample that trains the coarse quantizer
+    (``ivf_centroids``): codebook m = the sample vectors' m-th
+    subvectors, so the whole model is a pure function of the data and
+    the DuckDB oracle can re-derive it (codeword j == the j-th sample in
+    md5 order). At 10^10 vectors each codebook trains with per-subspace
+    k-means instead (the ``ivf_centroids_kmeans`` seam, run n_sub times
+    on slices); sampling keeps the bench algorithm replayable.
+
+    Vectors are L2-NORMALIZED before slicing (and the corpus is
+    normalized before encoding): the ADC score approximates <q, x-hat>,
+    which ranks like cosine only when every candidate has unit norm —
+    on raw vectors the reconstruction favours large-norm candidates and
+    recall collapses (measured 0.17 -> 0.55 on the sandbox corpus).
+    Normalization is sequential-fold arithmetic in both engines, so
+    oracle parity is preserved.
+
+    Returns ``codebooks[m][j] = subvector`` — driver-side literal model
+    state (n_sub * ks * sub_dim doubles, a few KB)."""
+    import math
+
+    sample = ivf_centroids(embs, ks, id_col, vec_col)
+    dim = len(sample[0][1])
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible into {n_sub} subspaces")
+    sd = dim // n_sub
+    normed = []
+    for _, vec in sample:
+        # left-to-right sum == the SQL list_dot_product fold
+        s = 0.0
+        for y in vec:
+            s += y * y
+        nrm = math.sqrt(s)
+        normed.append([x / nrm for x in vec])
+    return [
+        [vec[m * sd:(m + 1) * sd] for vec in normed]
+        for m in range(n_sub)
+    ]
+
+
+def _fold_sum(pairs):
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_codes(vec_col, codebooks: list[list[list[float]]]):
+    """array<int> PQ code of a vector column: per subspace the codeword
+    index minimizing round6(L2², sequential fold order — the oracle's
+    list_sum comprehension), ties to the smallest index. Pure literal
+    Column expressions: encoding is a map over the corpus scan, no
+    shuffle, no Python."""
+    out = []
+    for m, cws in enumerate(codebooks):
+        sd = len(cws[0])
+        xm = F.slice(vec_col, m * sd + 1, sd)
+        structs = []
+        for j, cw in enumerate(cws):
+            lit = F.array(*[F.lit(float(x)) for x in cw])
+            d2 = F.round(
+                _fold_sum(
+                    F.zip_with(xm, lit, lambda a, b: (a - b) * (a - b))
+                ),
+                6,
+            )
+            structs.append(
+                F.struct(d2.alias("d"), F.lit(j).cast("int").alias("j"))
+            )
+        out.append(F.array_min(F.array(*structs))["j"])
+    return F.array(*out)
+
+
+def pq_adc_weights(vec_col, codebooks: list[list[list[float]]]):
+    """array<array<bigint>> asymmetric-distance table of a QUERY vector:
+    weights[m][j] = round(1e6 * <q_m, codebook[m][j]>) — integer-scaled
+    so the per-candidate ADC score is an exact int64 sum (order-free,
+    bit-identical in both engines)."""
+    rows = []
+    for m, cws in enumerate(codebooks):
+        sd = len(cws[0])
+        qm = F.slice(vec_col, m * sd + 1, sd)
+        terms = []
+        for cw in cws:
+            lit = F.array(*[F.lit(float(x)) for x in cw])
+            dot = _fold_sum(F.zip_with(qm, lit, lambda a, b: a * b))
+            terms.append(F.round(dot * F.lit(1000000.0)).cast("long"))
+        rows.append(F.array(*terms))
+    return F.array(*rows)
+
+
+def ivfpq_ann_topk(
+    embs: DataFrame,
+    query_ids: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    ks: int = 16,
+    rerank_r: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the memory-compressed production ANN
+    shape (FAISS's IVFPQ index, Jégou et al. 2011): the coarse quantizer
+    restricts each query to n_probe inverted lists (exactly
+    ``ivf_ann_topk``'s probe path); candidates are scored from their
+    ``n_sub``-byte PQ codes via an asymmetric-distance-computation (ADC)
+    table lookup — the candidate's FULL vector is never touched in the
+    wide scoring pass; only the ADC top-``rerank_r`` per query fetch
+    their real vectors for an exact cosine re-rank (FAISS's refine
+    stage). At 10^10 x 64 dims the scored index is 8 bytes/vector
+    instead of 256 — it fits in cluster RAM — and the re-rank join
+    touches queries x R rows, driver-trivial by construction.
+
+    Plan shape: corpus scanned once, exchanged once, assigned (cid) and
+    encoded (codes) by literal map expressions; the tiny probe set
+    (queries x n_probe, carrying each query's integer ADC table)
+    broadcasts; the ADC score is one fold over zip_with(codes, weights)
+    — int64 end to end, so ADC ranking (and therefore the re-rank
+    candidate set) is hash-exact against the oracle's replay. Recall vs
+    the exact baseline is pytest-gated."""
+    v = _as_double(vec_col)
+    cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
+    cbs = pq_codebooks(embs, n_sub, ks, id_col, vec_col)
+    base = embs.select(F.col(id_col).alias("id"), v.alias("v")).repartition(
+        F.col("id")
+    )
+    arr = _centroid_score_array(cents, F.col("v"))
+    # unit-normalize before encoding (see pq_codebooks): ADC then ranks
+    # like cosine; the coarse assignment stays on the raw vector (cosine
+    # is normalization-invariant, keeping probe parity with ann_ivf)
+    nv = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    assigned = (
+        base.withColumn("nrm", _norm(F.col("v")))
+        .withColumn("cid", (-F.array_max(arr)["nid"]).cast("long"))
+        .withColumn("codes", pq_codes(nv, cbs))
+        .drop("v", "nrm")
+    )
+    probes = (
+        base.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("id"))), "id"
+        )
+        .select(
+            F.col("id").alias("query_id"),
+            pq_adc_weights(F.col("v"), cbs).alias("w"),
+            F.explode(
+                F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+            ).alias("probe"),
+        )
+        .select(
+            "query_id",
+            "w",
+            (-F.col("probe.nid")).cast("long").alias("cid"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn(
+            "adc_x1e6",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("w"),
+                    lambda c, wm: F.element_at(wm, c + F.lit(1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_x1e6").desc(), F.col("id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank_adc", F.row_number().over(w))
+        .filter(F.col("rank_adc") <= rerank_r)
+        .select("query_id", "id", "adc_x1e6")
+    )
+    # refine: exact cosine over the queries x R shortlist only
+    qv = base.join(
+        F.broadcast(query_ids.select(F.col(id_col).alias("id"))), "id"
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qnorm"),
+    )
+    cv = base.select("id", "v", _norm(F.col("v")).alias("norm"))
+    refined = shortlist.join(F.broadcast(qv), "query_id").join(cv, "id")
+    return _exact_rerank(refined, k)

@@ -3337,6 +3337,116 @@ def _ann_ivf_oracle(n_centroids: int = 16, n_probe: int = 4) -> str:
     """
 
 
+def _ann_ivfpq_oracle(
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    sub_dim: int = 8,
+    k: int = 5,
+    rerank_r: int = 50,
+) -> str:
+    lo = f"s.m * {sub_dim} + 1"
+    hi = f"s.m * {sub_dim} + {sub_dim + 1}"
+    dim = n_sub * sub_dim
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cid, e AS ce FROM v
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {n_centroids}
+    ), cb AS (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5(CAST(cid AS VARCHAR)), cid) - 1 AS INT) AS j,
+             [ce[k] / sqrt(list_dot_product(ce, ce))
+              for k in range(1, {dim + 1})] AS nce
+      FROM cent
+    ), nvv AS (
+      SELECT vec_id,
+             [e[k] / sqrt(list_dot_product(e, e))
+              for k in range(1, {dim + 1})] AS ne
+      FROM v
+    ), subs AS (
+      SELECT CAST(unnest(range(0, {n_sub})) AS INT) AS m
+    ), enc AS (
+      SELECT nvv.vec_id, s.m, cb.j,
+             round(list_sum([(nvv.ne[k] - cb.nce[k])
+                             * (nvv.ne[k] - cb.nce[k])
+                             for k in range({lo}, {hi})]), 6) AS d2
+      FROM nvv CROSS JOIN subs s CROSS JOIN cb
+    ), codes AS (
+      SELECT vec_id, m, j FROM enc
+      QUALIFY row_number() OVER (PARTITION BY vec_id, m
+              ORDER BY d2, j) = 1
+    ), scored_c AS (
+      SELECT v.vec_id, cent.cid,
+             round(list_dot_product(v.e, cent.ce)
+                   / (sqrt(list_dot_product(v.e, v.e))
+                      * sqrt(list_dot_product(cent.ce, cent.ce))), 6) AS c6
+      FROM v CROSS JOIN cent
+    ), assigned AS (
+      SELECT vec_id, cid FROM scored_c
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY c6 DESC, cid) = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM scored_c
+      WHERE vec_id < 20
+      QUALIFY row_number() OVER (PARTITION BY vec_id
+              ORDER BY c6 DESC, cid) <= {n_probe}
+    ), wtab AS (
+      SELECT q.vec_id AS query_id, s.m, cb.j,
+             CAST(round(1000000.0 * list_sum(
+               [q.e[k] * cb.nce[k] for k in range({lo}, {hi})]))
+               AS BIGINT) AS wt
+      FROM v q CROSS JOIN subs s CROSS JOIN cb
+      WHERE q.vec_id < 20
+    ), cand AS (
+      SELECT p.query_id, a.vec_id AS id
+      FROM probes p JOIN assigned a ON a.cid = p.cid
+      WHERE a.vec_id <> p.query_id
+    ), adc AS (
+      SELECT c.query_id, c.id, CAST(SUM(w.wt) AS BIGINT) AS adc_x1e6
+      FROM cand c
+      JOIN codes cd ON cd.vec_id = c.id
+      JOIN wtab w ON w.query_id = c.query_id
+       AND w.m = cd.m AND w.j = cd.j
+      GROUP BY c.query_id, c.id
+    ), shortlist AS (
+      SELECT query_id, id FROM adc
+      QUALIFY row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_x1e6 DESC, id) <= {rerank_r}
+    ), rescored AS (
+      SELECT s.query_id, s.id AS neighbor_id,
+             round(list_dot_product(qe.e, ce.e)
+                   / (sqrt(list_dot_product(qe.e, qe.e))
+                      * sqrt(list_dot_product(ce.e, ce.e))), 6) AS c6
+      FROM shortlist s
+      JOIN v qe ON qe.vec_id = s.query_id
+      JOIN v ce ON ce.vec_id = s.id
+    )
+    SELECT query_id, neighbor_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY c6 DESC, neighbor_id) AS INT) AS rank,
+           c6 AS cosine
+    FROM rescored
+    QUALIFY rank <= {k}
+    """
+
+
+@_q("ann_ivfpq", _ann_ivfpq_oracle())
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (FAISS's memory-compressed production index shape,
+    Jégou et al. 2011): coarse-quantizer probing exactly as ``ann_ivf``,
+    then candidates scored from their 8-subspace PQ codes via an
+    integer asymmetric-distance table — 8 bytes per corpus vector
+    instead of 256, and the scored path is int64 end-to-end, so the
+    oracle's full train/encode/probe/ADC replay is hash-exact. Recall
+    vs the exact baseline is additionally pytest-gated
+    (operators/similarity.ivfpq_ann_topk)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 20)
+    return SIM.ivfpq_ann_topk(embs, qids, dim=64, k=5)
+
+
 @_q("ann_ivf", _ann_ivf_oracle())
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) bucketed ANN top-k — the second canonical ANN
