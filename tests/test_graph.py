@@ -278,3 +278,42 @@ def test_harmonic_centrality_cycle_settles_first_depth(spark):
     out = {r.id: r for r in harmonic_centrality(e).collect()}
     assert out[1].n_reached_by == 1 and out[1].harmonic_x1e6 == 1_000_000
     assert out[2].n_reached_by == 1 and out[2].harmonic_x1e6 == 1_000_000
+
+
+def test_hyperball_tracks_exact_harmonic(spark):
+    """HyperBall estimates must track the exact BFS twin on the host
+    graph — at 37 nodes the sketch is in its linear-counting regime, so
+    reachable counts land within a couple of register collisions and the
+    harmonic sums within a few percent."""
+    from web_scraper_v1_spark.operators.graph import (
+        harmonic_centrality,
+        hyperball_harmonic,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    links = d.selectExpr(
+        "doc_id % 37 AS src", "(doc_id * 7 + 1) % 37 AS dst"
+    ).unionByName(
+        d.selectExpr("doc_id % 37 AS src", "(doc_id * 11 + 2) % 37 AS dst")
+    )
+    exact = {r.id: r for r in harmonic_centrality(links).collect()}
+    est = {r.id: r for r in hyperball_harmonic(links).collect()}
+    assert set(est) == set(exact)
+    for nid, ex in exact.items():
+        ap = est[nid]
+        assert abs(ap.n_reached_by_est - ex.n_reached_by) <= 2
+        assert (
+            abs(ap.harmonic_x1e6_est - ex.harmonic_x1e6)
+            <= 0.08 * ex.harmonic_x1e6
+        )
+
+
+def test_hyperball_deterministic_across_runs(spark):
+    from web_scraper_v1_spark.operators.graph import hyperball_harmonic
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 1), (4, 9)], "src long, dst long"
+    )
+    a = sorted(map(tuple, hyperball_harmonic(e).collect()))
+    b = sorted(map(tuple, hyperball_harmonic(e).collect()))
+    assert a == b

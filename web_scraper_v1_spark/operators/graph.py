@@ -529,3 +529,110 @@ def harmonic_centrality(
         )
         .select(F.col("node").alias("id"), "n_reached_by", "harmonic_x1e6")
     )
+
+
+def hyperball_harmonic(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """HyperBall (Boldi & Vigna, "In-core computation of geometric
+    centralities with HyperBall", 2013 — public): approximate in-harmonic
+    centrality with an HLL counter per node instead of exact BFS state —
+    the 10^9-node scale path whose exact twin is
+    ``harmonic_centrality`` (the oracle-gated registry row).
+
+    State per node is the (node, reg, max-rho) row set of
+    ``operators/sketches.hll_registers`` — O(m) rows per node however
+    many nodes reach it. Each round propagates every node's registers
+    across its out-edges and folds by register-wise max (one equi-join +
+    one map-side-combinable groupBy — the connected_components shapes);
+    the fixed point is detected from the exact integer register sum
+    (registers only grow). The harmonic sum accumulates
+    round((est_t - est_{t-1}) * 1e6 / t) per round from the
+    deterministic HLL estimates, so repeated runs are bit-identical;
+    accuracy vs the exact twin is pytest-gated (at sandbox graph sizes
+    the sketch sits in its linear-counting regime and is near-exact).
+
+    Returns (id, n_reached_by_est, harmonic_x1e6_est)."""
+    from web_scraper_v1_spark.operators import sketches as SK
+
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(F.col("src"))
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    regs = SK.hll_registers(
+        nodes.select(F.col("id").alias("node"), F.col("id")),
+        F.col("id").cast("string"),
+        ["node"],
+    ).localCheckpoint(eager=True)
+    est = SK.hll_estimate(regs, ["node"]).select(
+        "node", F.col("hll_corrected").alias("e0")
+    ).localCheckpoint(eager=True)
+    acc = est.select("node", F.lit(0).cast("long").alias("h"))
+    _reg_sum = F.sum(F.col("mr").cast("decimal(38,0)"))
+    prev_sum = regs.agg(_reg_sum).collect()[0][0]
+    prev_cnt = regs.count()
+    try:
+        for t in range(1, max_iter + 1):
+            prop = regs.join(e, regs["node"] == e["src"]).select(
+                e["dst"].alias("node"), F.col("reg"), F.col("mr")
+            )
+            regs = (
+                regs.unionByName(prop)
+                .groupBy("node", "reg")
+                .agg(F.max("mr").alias("mr"))
+                .localCheckpoint(eager=True)
+            )
+            new_sum = regs.agg(_reg_sum).collect()[0][0]
+            new_cnt = regs.count()
+            if new_sum == prev_sum and new_cnt == prev_cnt:
+                break
+            prev_sum, prev_cnt = new_sum, new_cnt
+            est_t = SK.hll_estimate(regs, ["node"]).select(
+                "node", F.col("hll_corrected").alias("e1")
+            )
+            acc = (
+                acc.join(est_t, "node", "left")
+                .join(est.withColumnRenamed("e0", "ep"), "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.col("h")
+                        + F.round(
+                            (F.col("e1") - F.col("ep")).cast("double")
+                            * F.lit(1000000.0)
+                            / F.lit(float(t))
+                        ).cast("long")
+                    ).alias("h"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            est = est_t.withColumnRenamed("e1", "e0").localCheckpoint(
+                eager=True
+            )
+        else:
+            raise RuntimeError(
+                f"hyperball did not settle in {max_iter} rounds"
+            )
+    finally:
+        e.unpersist()
+    return (
+        acc.join(est, "node")
+        .select(
+            F.col("node").alias("id"),
+            (F.col("e0") - F.lit(1)).cast("long").alias(
+                "n_reached_by_est"
+            ),
+            F.col("h").alias("harmonic_x1e6_est"),
+        )
+    )

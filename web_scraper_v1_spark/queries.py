@@ -4817,6 +4817,68 @@ def q_dup_span_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "mixture_temperature",
+    """
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len(regexp_split_to_array(trim(lower(text)),
+                                                '\\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), sc AS (
+      SELECT source, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS s_scaled
+      FROM src
+    ), tot AS (
+      SELECT CAST(sum(s_scaled) AS BIGINT) AS total_s FROM sc
+    )
+    SELECT source, n_tokens, s_scaled,
+           CAST(round(1000000.0 * (CAST(s_scaled AS DOUBLE)
+                 / CAST(total_s AS DOUBLE))) AS BIGINT) AS weight_ppm,
+           CAST(round(100000.0 * (CAST(s_scaled AS DOUBLE)
+                 / CAST(total_s AS DOUBLE))) AS BIGINT) AS alloc_tokens
+    FROM sc CROSS JOIN tot
+    """,
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture weights per source (the multilingual /
+    multi-source sampling rule of XLM-R and mC4 — public: p_i ∝ n_i^α
+    flattens the head so low-resource sources are not drowned). α = 0.5
+    here because sqrt is IEEE-correctly-rounded in every engine; an
+    arbitrary α would use pow, whose last-ulp behaviour differs across
+    libms — the shape is identical. Cross-engine determinism: each
+    source's sqrt is scaled to int64 per-row (identical IEEE op), the
+    total is an ORDER-FREE integer sum (a float sum's order varies with
+    partitioning), and the ppm ratio divides two int64s cast to double
+    in fixed order. One map-side-combinable groupBy on source; the
+    mixture table stays broadcast-sized at any corpus scale."""
+    d = _t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(TX.token_count(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    sc = src.withColumn(
+        "s_scaled",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1e6))
+        .cast("long"),
+    )
+    tot = sc.agg(F.sum("s_scaled").cast("long").alias("total_s"))
+    ratio = F.col("s_scaled").cast("double") / F.col("total_s").cast(
+        "double"
+    )
+    return (
+        sc.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            "s_scaled",
+            F.round(F.lit(1e6) * ratio).cast("long").alias("weight_ppm"),
+            F.round(F.lit(1e5) * ratio).cast("long").alias("alloc_tokens"),
+        )
+    )
+
+
+@_q(
     "mixture_token_budget",
     """
     WITH d AS (
