@@ -883,3 +883,44 @@ def test_cdx_surt_range_prefix_filter_is_pushed(spark):
     plan = plan_of(df)
     pushed = plan.split("PushedFilters:")[1].split("\n")[0]
     assert "StartsWith(surt" in pushed
+
+
+def test_runtime_bloom_filter_join_injects_on_selective_dim(spark):
+    """Catalyst's runtime bloom-filter join (a free win the reference
+    cannot express): a selective filter on the small side of a
+    shuffle join injects might_contain(xxhash64(key)) into the fact
+    scan, so at 100 TB most frontier rows are dropped before the
+    exchange. Sandbox tables sit below the default creation/application
+    size thresholds, so the test lowers them explicitly — at production
+    scale the defaults fire on their own."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".creationSideThreshold": "100MB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(f"{SF}/lineitem.parquet")
+        dim = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 500000
+        )
+        j = fact.join(dim, fact.l_orderkey == dim.o_orderkey).select(
+            "l_orderkey", "o_totalprice"
+        )
+        plan = plan_of(j)
+        assert "might_contain" in plan
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
