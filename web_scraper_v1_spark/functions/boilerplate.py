@@ -60,7 +60,10 @@ def _in_list(arr: str, words: tuple[str, ...]) -> F.Column:
 
 
 def classify_blocks(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_text: bool = False,
 ) -> DataFrame:
     """Two-pass jusText-style block classification. Returns one row per
     block: (doc_id, block_idx, n_tok, chars, stop_cnt, link_cnt, cls,
@@ -94,6 +97,11 @@ def classify_blocks(
         F.length(F.array_join("lw", " ")).cast("int").alias("chars"),
         _in_list("lw", CTX_STOPWORDS).alias("stop_cnt"),
         _in_list("lw", LINK_TOKENS).alias("link_cnt"),
+        *(
+            [F.array_join("lw", " ").alias("btxt")]
+            if keep_text
+            else []
+        ),
     )
     cls = (
         F.when(F.col("link_cnt") * MAX_LINK_DEN > F.col("n_tok"), "bad")

@@ -3140,6 +3140,117 @@ def q_content_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify_blocks(_t(spark, sf_dir, "documents"))
 
 
+@_q(
+    "content_extract_text",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents
+    ), blk AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS block_idx,
+             w[i * 10 + 1:i * 10 + 10] AS lw
+      FROM tok, UNNEST(range(0, (len(w) + 9) // 10)) AS t(i)
+      WHERE len(w) >= 1
+    ), feat AS (
+      SELECT doc_id, block_idx,
+             array_to_string(lw, ' ') AS btxt,
+             CAST(len(lw) AS INT) AS n_tok,
+             CAST(strlen(array_to_string(lw, ' ')) AS INT) AS chars,
+             CAST(len(list_filter(lw,
+                  x -> x IN ('a','the','value','table'))) AS INT)
+               AS stop_cnt,
+             CAST(len(list_filter(lw,
+                  x -> x IN ('spark','stream','vector'))) AS INT)
+               AS link_cnt
+      FROM blk
+    ), cf AS (
+      SELECT *,
+             CASE
+               WHEN link_cnt * 5 > n_tok THEN 'bad'
+               WHEN chars < 40 THEN
+                 CASE WHEN link_cnt > 0 THEN 'bad' ELSE 'short' END
+               WHEN stop_cnt * 5 >= n_tok THEN
+                 CASE WHEN chars > 50 THEN 'good' ELSE 'neargood' END
+               WHEN stop_cnt * 10 >= n_tok THEN 'neargood'
+               ELSE 'bad'
+             END AS cls
+      FROM feat
+    ), ctx AS (
+      SELECT *,
+             coalesce(last_value(
+                 CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY block_idx
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               'bad') AS ctx_prev,
+             coalesce(first_value(
+                 CASE WHEN cls IN ('good','bad') THEN cls END IGNORE NULLS)
+               OVER (PARTITION BY doc_id ORDER BY block_idx
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING),
+               'bad') AS ctx_next
+      FROM cf
+    ), fin AS (
+      SELECT doc_id, block_idx, btxt,
+             CASE WHEN cls IN ('good','bad') THEN cls
+                  WHEN ctx_prev = 'good' OR ctx_next = 'good' THEN 'good'
+                  ELSE 'bad'
+             END AS cls_final
+      FROM ctx
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_blocks,
+           CAST(sum(CASE WHEN cls_final = 'good' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good,
+           md5(coalesce(string_agg(btxt, ' ' ORDER BY block_idx)
+                        FILTER (WHERE cls_final = 'good'), ''))
+             AS extracted_md5,
+           CAST(strlen(coalesce(string_agg(btxt, ' ' ORDER BY block_idx)
+                        FILTER (WHERE cls_final = 'good'), ''))
+                AS BIGINT) AS extracted_chars
+    FROM fin GROUP BY doc_id
+    """,
+)
+def q_content_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The downstream artifact of ``content_extract``: per document, the
+    main-content text reassembled from the final-good blocks in block
+    order (carried as md5 + length so the row stays narrow — the byte
+    parity IS the gate). One (doc_id) exchange shared with the context
+    windows; the reassembly is sort_array over collected (idx, text)
+    structs, no second scan."""
+    from web_scraper_v1_spark.functions.boilerplate import classify_blocks
+
+    d = _t(spark, sf_dir, "documents")
+    blocks = classify_blocks(d, keep_text=True)
+    kept = F.array_join(
+        F.transform(
+            F.filter(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            F.col("block_idx").alias("i"),
+                            F.when(
+                                F.col("cls_final") == "good",
+                                F.col("btxt"),
+                            ).alias("t"),
+                        )
+                    )
+                ),
+                lambda s: s["t"].isNotNull(),
+            ),
+            lambda s: s["t"],
+        ),
+        " ",
+    )
+    return blocks.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("cls_final") == "good", 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+        F.md5(kept.cast("binary")).alias("extracted_md5"),
+        F.length(kept).cast("long").alias("extracted_chars"),
+    )
+
+
 # corpus plan -> (source frame, on-disk index path) written THIS process.
 # Production ingests the corpus index once and probes it per increment; the
 # cache gives the registry row the same cadence: the first call in a session
