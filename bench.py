@@ -149,6 +149,20 @@ HEADLINE = [
     "bpe_train_merges",
     "bpe_encode",
     "host_trustrank",
+    # round-5 second-session additions: directed containment dedup,
+    # jusText-style boilerplate removal + extracted-text artifact,
+    # stored-CDX SURT range lookup, exact harmonic centrality,
+    # IVF-PQ compressed ANN, stored-index WAND retrieval, positional
+    # proximity search, temperature mixture weighting
+    "containment_dedup",
+    "content_extract",
+    "content_extract_text",
+    "cdx_surt_range",
+    "host_harmonic_centrality",
+    "ann_ivfpq",
+    "bm25_wand_topk",
+    "proximity_search",
+    "mixture_temperature",
 ]
 
 
