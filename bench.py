@@ -160,6 +160,7 @@ HEADLINE = [
     "cdx_surt_range",
     "host_harmonic_centrality",
     "ann_ivfpq",
+    "ann_ivfpq_stored",
     "bm25_wand_topk",
     "proximity_search",
     "mixture_temperature",

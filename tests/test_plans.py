@@ -924,3 +924,48 @@ def test_runtime_bloom_filter_join_injects_on_selective_dim(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_key_partitions(spark):
+    """AQE's runtime skew-join handling (the second half of the north
+    rule's skew story next to explicit salting): a hot join key must be
+    re-planned as SortMergeJoin(skew=true) at runtime. Sandbox-scale
+    inputs sit under the default skew thresholds, so the test lowers
+    them; at 100 TB one hot host crosses the defaults on its own."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(0, 200000)
+            .select((F.col("id") * 0).alias("k"), F.col("id").alias("v"))
+            .union(
+                spark.range(0, 20000).select(
+                    (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+                )
+            )
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum(F.col("v") + F.col("w")))
+        j.collect()  # AQE re-plans at runtime; inspect the executed plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

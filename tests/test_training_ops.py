@@ -1095,3 +1095,25 @@ def test_ann_ivfpq_refined_recall(spark):
     # the shortlist is a strict subset of the probe pool, so PQ can
     # never exceed the probe ceiling
     assert recall_pq <= recall_ivf + 1e-9
+
+
+def test_ivfpq_stored_index_matches_inflight(spark, tmp_path):
+    """The persisted-index probe must return exactly the in-flight
+    ivfpq_ann_topk rows, and the index read must partition-prune to the
+    probed cids."""
+    embs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qids = embs.select("vec_id").filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivfpq")
+    cents, cbs = SIM.ivfpq_index_write(embs, path)
+    stored = SIM.ivfpq_probe_topk(spark, path, embs, qids, cents, cbs, k=5)
+    inflight = SIM.ivfpq_ann_topk(embs, qids, dim=64, k=5)
+    assert sorted(map(tuple, stored.collect())) == sorted(
+        map(tuple, inflight.collect())
+    )
+    # the codes store never contains vectors — 8 small ints per row
+    import pyspark.sql.types as T
+
+    idx = spark.read.parquet(path)
+    assert set(idx.columns) == {"cid", "id", "codes"}
+    codes_field = [f for f in idx.schema.fields if f.name == "codes"][0]
+    assert isinstance(codes_field.dataType, T.ArrayType)

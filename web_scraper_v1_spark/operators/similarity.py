@@ -981,3 +981,118 @@ def ivfpq_ann_topk(
     cv = base.select("id", "v", _norm(F.col("v")).alias("norm"))
     refined = shortlist.join(F.broadcast(qv), "query_id").join(cv, "id")
     return _exact_rerank(refined, k)
+
+
+def ivfpq_index_write(
+    embs: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    n_sub: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[list[tuple[int, list[float]]], list[list[list[float]]]]:
+    """Materialize the IVF-PQ index: every corpus vector is assigned and
+    PQ-encoded ONCE, and only (id, codes) lands in the partitioned store
+    — ``partitionBy(cid)``, one directory per inverted list, n_sub
+    small-int codes per row instead of the vector (the 8-vs-256-bytes
+    point of PQ; the raw vectors stay in the base table and are touched
+    only by the refine join). Returns (centroids, codebooks) — the
+    quantizer model, a few KB of driver state to persist beside the
+    index."""
+    cents = ivf_centroids(embs, n_centroids, id_col, vec_col)
+    cbs = pq_codebooks(embs, n_sub, ks, id_col, vec_col)
+    v = _as_double(vec_col)
+    base = embs.select(F.col(id_col).alias("id"), v.alias("v")).repartition(
+        F.col("id")
+    )
+    arr = _centroid_score_array(cents, F.col("v"))
+    nv = F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    (
+        base.withColumn("nrm", _norm(F.col("v")))
+        .withColumn("cid", (-F.array_max(arr)["nid"]).cast("long"))
+        .withColumn("codes", pq_codes(nv, cbs))
+        .select("cid", "id", "codes")
+        .write.mode("overwrite")
+        .partitionBy("cid")
+        .parquet(path)
+    )
+    return cents, cbs
+
+
+def ivfpq_probe_topk(
+    spark,
+    index_path: str,
+    embs: DataFrame,
+    query_ids: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    n_probe: int = 4,
+    rerank_r: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k over the STORED IVF-PQ index: probe cids are computed on the
+    tiny query side (same kernel + ordering as the in-flight path, so the
+    two return identical rows — pytest-gated) and pushed into the index
+    read as a literal partition filter; candidates score by integer ADC
+    from their stored codes alone, and only the ADC top-``rerank_r``
+    fetch real vectors from the base table for the exact refine."""
+    v = _as_double(vec_col)
+    qbase = embs.select(
+        F.col(id_col).alias("id"), v.alias("v")
+    ).join(F.broadcast(query_ids.select(F.col(id_col).alias("id"))), "id")
+    arr = _centroid_score_array(centroids, F.col("v"))
+    probes = qbase.select(
+        F.col("id").alias("query_id"),
+        pq_adc_weights(F.col("v"), codebooks).alias("w"),
+        F.explode(
+            F.slice(F.reverse(F.array_sort(arr)), 1, n_probe)
+        ).alias("probe"),
+    ).select(
+        "query_id", "w", (-F.col("probe.nid")).cast("long").alias("cid")
+    )
+    probe_rows = probes.collect()
+    probe_cids = sorted({r.cid for r in probe_rows})
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, w array<array<bigint>>, cid long"
+    )
+    idx = spark.read.parquet(index_path).filter(
+        F.col("cid").isin(probe_cids)
+    )
+    scored = (
+        idx.join(F.broadcast(probes), "cid")
+        .filter(F.col("id") != F.col("query_id"))
+        .withColumn(
+            "adc_x1e6",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("w"),
+                    lambda c, wm: F.element_at(wm, c + F.lit(1)),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_x1e6").desc(), F.col("id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank_adc", F.row_number().over(w))
+        .filter(F.col("rank_adc") <= rerank_r)
+        .select("query_id", "id")
+    )
+    base = embs.select(F.col(id_col).alias("id"), v.alias("v"))
+    qv = base.join(
+        F.broadcast(query_ids.select(F.col(id_col).alias("id"))), "id"
+    ).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        _norm(F.col("v")).alias("qnorm"),
+    )
+    cv = base.select("id", "v", _norm(F.col("v")).alias("norm"))
+    refined = shortlist.join(F.broadcast(qv), "query_id").join(cv, "id")
+    return _exact_rerank(refined, k)
