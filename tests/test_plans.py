@@ -969,3 +969,23 @@ def test_aqe_skew_join_splits_hot_key_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_content_extract_single_scan_single_exchange(spark):
+    """The block classifier reads the corpus once and exchanges once (the
+    doc_id partitioning shared by both context windows) — pass 2 must
+    not re-scan or re-shuffle."""
+    plan = plan_of(Q.queries()["content_extract"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Scan parquet") == 2, plan  # one node: tree+details
+    assert plan.count("Arguments: hashpartitioning") == 1, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_containment_pairs_never_cartesian(spark):
+    """The directed-containment candidate generation is a posting-list
+    equi-join keyed by shingle — any corpus-side cartesian/nested-loop
+    shape would be quadratic at scale."""
+    plan = plan_of(Q.queries()["containment_dedup"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
