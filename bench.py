@@ -164,6 +164,7 @@ HEADLINE = [
     "bm25_wand_topk",
     "proximity_search",
     "mixture_temperature",
+    "warc_revisit",
 ]
 
 

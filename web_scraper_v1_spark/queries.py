@@ -4185,6 +4185,92 @@ def _recrawl_delta_statuses(d: DataFrame) -> DataFrame:
 
 
 @_q(
+    "warc_revisit",
+    """
+    WITH caps AS (
+      SELECT doc_id, 0 AS gen, '2026-01-15' AS warc_date,
+             md5(text) AS digest
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1, '2026-02-15',
+             md5(text || CASE WHEN doc_id % 3 = 0 THEN ' v2'
+                              WHEN doc_id % 3 = 1 THEN ' v1'
+                              ELSE '' END)
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 2, '2026-03-15',
+             md5(text || CASE WHEN doc_id % 3 = 1 THEN ' v2'
+                              ELSE '' END)
+      FROM documents
+    ), marked AS (
+      SELECT doc_id, gen, warc_date, digest,
+             row_number() OVER (PARTITION BY doc_id, digest
+                                ORDER BY warc_date) AS rn,
+             first_value(warc_date) OVER (PARTITION BY doc_id, digest
+                                          ORDER BY warc_date) AS fd
+      FROM caps
+    )
+    SELECT doc_id, CAST(gen AS INT) AS gen, warc_date, digest,
+           CASE WHEN rn > 1 THEN 'revisit' ELSE 'response' END
+             AS record_type,
+           CASE WHEN rn > 1 THEN fd END AS refers_to_date
+    FROM marked
+    """,
+)
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ``revisit`` record emission (ISO 28500 / Heritrix URL-agnostic
+    content dedup — public): across three derived capture generations,
+    a capture whose payload digest matches ANY earlier capture of the
+    same URL is written as a ``revisit`` record carrying a refers-to
+    pointer at the EARLIEST capture of that digest, storing bytes once
+    however often the page is refetched. The derivation plants all three
+    cases: pages that change once and revert (gen-2 revisits gen-0
+    across the intervening change), pages that change every generation
+    (no revisits), and pages that never change (two revisits). One
+    (doc_id, digest) window — co-partitioned with the url-keyed store at
+    scale, the recrawl_delta note."""
+    d = _t(spark, sf_dir, "documents")
+    gens = []
+    for g, (date, suffix) in enumerate(
+        (
+            ("2026-01-15", F.lit("")),
+            (
+                "2026-02-15",
+                F.when(F.col("doc_id") % 3 == 0, " v2")
+                .when(F.col("doc_id") % 3 == 1, " v1")
+                .otherwise(""),
+            ),
+            (
+                "2026-03-15",
+                F.when(F.col("doc_id") % 3 == 1, " v2").otherwise(""),
+            ),
+        )
+    ):
+        gens.append(
+            d.select(
+                "doc_id",
+                F.lit(g).cast("int").alias("gen"),
+                F.lit(date).alias("warc_date"),
+                F.md5(F.concat(F.col("text"), suffix)).alias("digest"),
+            )
+        )
+    caps = gens[0].unionByName(gens[1]).unionByName(gens[2])
+    w = Window.partitionBy("doc_id", "digest").orderBy("warc_date")
+    rn = F.row_number().over(w)
+    fd = F.first("warc_date").over(w)
+    return caps.select(
+        "doc_id",
+        "gen",
+        "warc_date",
+        "digest",
+        F.when(rn > 1, "revisit").otherwise("response").alias(
+            "record_type"
+        ),
+        F.when(rn > 1, fd).alias("refers_to_date"),
+    )
+
+
+@_q(
     "recrawl_delta",
     _RECRAWL_DELTA_CTES
     + f"""
